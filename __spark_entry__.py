@@ -1,38 +1,238 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query; ``queries()`` — one callable per
+implemented operator (SURVEY.md §2); ``oracle_sql()`` — DuckDB-exact
+twins. Sketch *estimates* are not SQL-expressible, so sketch queries are
+gated two ways: (a) their row-count/grouping plumbing has an exact
+oracle, and (b) a bound-check query returns the (empty) set of groups
+whose estimate violates the HLL error bound, with an empty oracle.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _ensure_shipped(spark: SparkSession) -> None:
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from hlld_spark.session import ship_package
+
+    try:
+        ship_package(spark)
+    except Exception:
+        pass  # already shipped or running inside our own session builder
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: approximate distinct doc_ids per lang over documents
+    (the reference's per-set cardinality query, distributed)."""
+    _ensure_shipped(spark)
+    from hlld_spark.core.accumulator import HllSpec
+    from hlld_spark.operators.sketch import distinct_count
+
+    docs = _load(spark, "/root/testdata/sf0.001", "documents")
+    return distinct_count(docs, ["lang"], "doc_id", HllSpec(precision=14)).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# queries: exact relational plumbing (full oracle) + sketch ops (rows-only
+# or bound-check oracles)
+# ---------------------------------------------------------------------------
+
+
+def _q_exact_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"), F.count("*").alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
+    from hlld_spark.core.accumulator import HllSpec
+    from hlld_spark.operators.sketch import distinct_count
+
+    ev = _load(spark, sf_dir, "events")
+    return distinct_count(ev, ["event_type"], "user_id", HllSpec(precision=14)).orderBy("event_type")
+
+
+def _q_hll_rowcount_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch pipeline's group/row accounting, which IS exact."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.sketch import build_sketches
+
+    ev = _load(spark, sf_dir, "events")
+    return build_sketches(ev, ["event_type"], "user_id").select("event_type", "n_rows").orderBy("event_type")
+
+
+def _q_hll_bound_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Groups whose HLL estimate misses exact by > 3·(1.04/sqrt(2^p)).
+    Must be empty — checked exactly by an empty oracle."""
+    _ensure_shipped(spark)
+    from hlld_spark.core import hll as hll_core
+    from hlld_spark.core.accumulator import HllSpec
+    from hlld_spark.operators.sketch import distinct_count
+
+    p = 14
+    ev = _load(spark, sf_dir, "events")
+    est = distinct_count(ev, ["event_type"], "user_id", HllSpec(precision=p))
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("exact"))
+    bound = 3 * hll_core.error_for_precision(p)
+    return (
+        est.join(exact, "event_type")
+        .filter(F.abs(F.col("estimate") - F.col("exact")) / F.col("exact") > bound)
+        .select("event_type")
+    )
+
+
+def _q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy("c_mktsegment")
+    )
+
+
+def _q_prefix_list_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `list <prefix>` command shape: prefix filter + name sort."""
+    p = _load(spark, sf_dir, "part")
+    return (
+        p.filter(F.col("p_name").startswith("s"))
+        .select("p_partkey", "p_name", "p_retailprice")
+        .orderBy("p_name", "p_partkey")
+    )
+
+
+def _q_exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keeper = min doc_id per md5(text)."""
+    d = _load(spark, sf_dir, "documents")
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("content_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
+        .orderBy("keeper_id")
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tokens"),
+        F.length("text").alias("n_chars_text"),
+    ).orderBy("doc_id")
+
+
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .orderBy("day", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
+        "hll_users_by_type": _q_hll_users_by_type,
+        "hll_rowcount_plumbing": _q_hll_rowcount_plumbing,
+        "hll_bound_violations": _q_hll_bound_violations,
+        "pricing_summary": _q_pricing_summary,
+        "revenue_by_segment": _q_revenue_by_segment,
+        "prefix_list_parts": _q_prefix_list_parts,
+        "exact_dedup_documents": _q_exact_dedup_documents,
+        "token_counts": _q_token_counts,
+        "events_daily": _q_events_daily,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_distinct_users_by_type": """
+            SELECT event_type,
+                   COUNT(DISTINCT user_id) AS exact_users,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        # hll_users_by_type: estimate not SQL-expressible → rows-only check
+        "hll_rowcount_plumbing": """
+            SELECT event_type, COUNT(user_id) AS n_rows
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "hll_bound_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS event_type WHERE 1 = 0
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   ROUND(AVG(l_quantity), 6) AS avg_qty,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_segment": """
+            SELECT c_mktsegment,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """,
+        "prefix_list_parts": """
+            SELECT p_partkey, p_name, p_retailprice
+            FROM part WHERE p_name LIKE 's%'
+            ORDER BY p_name, p_partkey
+        """,
+        "exact_dedup_documents": """
+            SELECT MD5(text) AS content_hash,
+                   MIN(doc_id) AS keeper_id,
+                   COUNT(*) AS n_copies
+            FROM documents GROUP BY MD5(text) ORDER BY keeper_id
+        """,
+        "token_counts": """
+            SELECT doc_id,
+                   LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) AS n_tokens,
+                   LENGTH(text) AS n_chars_text
+            FROM documents ORDER BY doc_id
+        """,
+        "events_daily": """
+            SELECT CAST(ts AS DATE) AS day, event_type,
+                   COUNT(*) AS n,
+                   ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+            ORDER BY day, event_type
+        """,
+    }

@@ -1,0 +1,109 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": <total sec>, "unit": "sec", "queries": {...},
+ "sf": ..., "docs_per_sec": ...}
+
+The flagship number is sketch-build throughput (docs/sec) over a
+deterministic web-corpus parquet (generated once to a temp dir, scan
+timed, generation not), mirroring the reference's bench.c 1M-key `set`
+workload. Run scripts/scaling_bench.py for the N-vs-4N parallelism
+evidence (BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "2000000"))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    from hlld_spark.core.accumulator import HllSpec
+    from hlld_spark.operators.sketch import build_sketches, distinct_count, with_estimate
+    from hlld_spark.session import get_spark
+    from hlld_spark.sources.webpages import generate_web_pages
+
+    spark = get_spark(app_name="hlld-spark-bench", cpus=CPUS)
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        result = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return result
+
+    # materialize the web corpus once (generation excluded from timings)
+    web_dir = os.path.join(tempfile.gettempdir(), f"hlld_bench_web_{WEB_ROWS}")
+    if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):
+        generate_web_pages(spark, WEB_ROWS, partitions=4 * CPUS).write.mode("overwrite").parquet(web_dir)
+    web = spark.read.parquet(web_dir)
+
+    # warm-up: spin up Python workers + page cache so timings are steady-state
+    build_sketches(web.limit(50000), ["lang"], "url", HllSpec(12)).collect()
+    web.count()
+
+    # q1: flagship — per-lang distinct urls (skewed keys), p12
+    timed("q1_hll_urls_by_lang", lambda: distinct_count(web, ["lang"], "url", HllSpec(12)).collect())
+    extras["docs_per_sec"] = round(WEB_ROWS / timings["q1_hll_urls_by_lang"], 1)
+
+    # q2: per-(lang, day) sketches — 140 groups, finest grain
+    timed(
+        "q2_hll_urls_by_lang_day",
+        lambda: build_sketches(
+            web.withColumn("day", F.to_date("warc_ts")), ["lang", "day"], "url", HllSpec(12)
+        ).collect(),
+    )
+
+    # q3: global distinct over TPC-H-ish lineitem keys
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed(
+        "q3_hll_global_orderkey",
+        lambda: with_estimate(build_sketches(li, [], "l_orderkey", HllSpec(14))).collect(),
+    )
+
+    # q4: exact relational baseline for comparison (Catalyst path)
+    timed(
+        "q4_exact_distinct_urls_by_lang",
+        lambda: web.groupBy("lang").agg(F.countDistinct("url")).collect(),
+    )
+
+    # q5: pricing summary (pure Catalyst agg)
+    timed(
+        "q5_pricing_summary",
+        lambda: li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
+        .collect(),
+    )
+
+    spark.stop()
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR,
+                "cpus": CPUS,
+                "web_rows": WEB_ROWS,
+                **extras,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

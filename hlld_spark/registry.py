@@ -1,0 +1,308 @@
+"""Named-sketch registry: the reference's command surface re-expressed.
+
+Reproduces the test-visible semantics of hlld's 9 protocol commands
+(/root/reference/src/handler_constants.c:54-65, conn_handler.c):
+
+  create  — eps↔precision coupling (given eps, derive p, re-derive the
+            actual eps from p — src/conn_handler.c:257-271); name regex
+            ``^[^ \\t\\r\\n]{1,200}$`` (src/handler_constants.c:69);
+            responses Done / Exists / Delete in progress
+  set/bulk — add keys (Done / Set does not exist); fault-in if proxied
+  info    — in_memory, page_ins, page_outs, epsilon, precision, sets,
+            size, storage (src/conn_handler.c:438-515); reads never
+            fault a proxied set in: size comes from the flushed cache
+            (src/set.c:297-303)
+  list    — sorted, prefix-filtered ``name eps precision bytes estimate``
+  drop    — marks pending-delete; physical removal happens at vacuum()
+            (the MVCC delta + vacuum thread, src/set_manager.c:445-465,
+            :1058-1141 — synchronous here, same observable states)
+  close   — flush + unmap, stays on disk & in registry (page_out)
+  clear   — forget a *proxied* set without deleting its files; on a hot
+            set returns "Set is not proxied. Close it first."
+            (src/set_manager.c:475-501); re-create rediscovers the data
+  flush   — persist dirty registers + config with cached size; no-op if
+            clean (src/set.c:157-196)
+
+On-disk layout mirrors the reference (src/set.c:18-28): a directory
+``hlld.<name>/`` holding ``config.json`` (the INI twin) and
+``data.mmap`` — raw packed registers, byte-identical to the reference's
+registers.mmap layout.
+
+Distributed adds plug in via :meth:`SketchRegistry.add_dataframe`, which
+runs the Spark two-phase build and merges the result into the named set.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+
+import numpy as np
+
+from .core import hll
+from .core.accumulator import HllSpec
+from .core.hashing import hll_hash
+
+VALID_NAME = re.compile(r"^[^ \t\r\n]{1,200}\Z")  # src/handler_constants.c:69
+
+DONE = "Done"
+EXISTS = "Exists"
+DELETE_IN_PROGRESS = "Delete in progress"
+SET_NOT_FOUND = "Set does not exist"
+NOT_PROXIED = "Set is not proxied. Close it first."
+BAD_NAME = "Client Error: Bad set name"
+
+
+class HlldError(Exception):
+    pass
+
+
+class _Set:
+    __slots__ = ("name", "precision", "eps", "in_memory", "registers", "dirty", "size_cache", "page_ins", "page_outs", "sets")
+
+    def __init__(self, name, precision, eps, in_memory):
+        self.name = name
+        self.precision = precision
+        self.eps = eps
+        self.in_memory = in_memory
+        self.registers: np.ndarray | None = None  # None == proxied (unmapped)
+        self.dirty = False
+        self.size_cache = 0.0
+        self.page_ins = 0
+        self.page_outs = 0
+        self.sets = 0  # set-op counter (src/set.h:15-19)
+
+
+class SketchRegistry:
+    def __init__(self, root_dir: str, default_eps: float = hll.DEFAULT_EPS, default_precision: int | None = None):
+        self.root = root_dir
+        os.makedirs(root_dir, exist_ok=True)
+        self.default_eps = default_eps
+        self.default_precision = default_precision or hll.precision_for_error(default_eps)
+        self._sets: dict[str, _Set] = {}
+        self._pending_delete: set[str] = set()
+        self._discover()
+
+    # --- persistence layout (mirrors src/set.c:18-28) ------------------------
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, f"hlld.{name}")
+
+    def _config_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "config.json")
+
+    def _data_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "data.mmap")
+
+    def _discover(self) -> None:
+        """Restore registry state from disk (reference: faulted-in at boot,
+        src/set_manager.c discovery)."""
+        if not os.path.isdir(self.root):
+            return
+        for entry in sorted(os.listdir(self.root)):
+            if not entry.startswith("hlld."):
+                continue
+            name = entry[len("hlld.") :]
+            cfg_path = self._config_path(name)
+            if not os.path.exists(cfg_path):
+                continue
+            with open(cfg_path) as f:
+                cfg = json.load(f)
+            s = _Set(name, cfg["precision"], cfg["eps"], cfg.get("in_memory", False))
+            s.size_cache = cfg.get("size", 0.0)
+            self._sets[name] = s
+
+    # --- C1 create ------------------------------------------------------------
+
+    def create(self, name: str, precision: int | None = None, eps: float | None = None, in_memory: bool = False) -> str:
+        if not VALID_NAME.match(name or ""):
+            raise HlldError(BAD_NAME)
+        if name in self._pending_delete:
+            return DELETE_IN_PROGRESS
+        if name in self._sets:
+            return EXISTS
+        # eps ↔ precision coupling: given eps derive p, then re-derive the
+        # actual eps from p (src/conn_handler.c:257-271)
+        if precision is None:
+            e = eps if eps is not None else self.default_eps
+            precision = hll.precision_for_error(e)
+            if precision < 0:
+                raise HlldError("Client Error: Bad arguments")
+            precision = min(max(precision, hll.HLL_MIN_PRECISION), hll.HLL_MAX_PRECISION)
+        if not (hll.HLL_MIN_PRECISION <= precision <= hll.HLL_MAX_PRECISION):
+            raise HlldError("Client Error: Bad arguments")
+        actual_eps = hll.error_for_precision(precision)
+        s = _Set(name, precision, actual_eps, in_memory)
+        existing_data = os.path.exists(self._data_path(name))
+        if existing_data:
+            # re-create over cleared (not dropped) files rediscovers state
+            # (tests/test_setmgr.c:430-470)
+            with open(self._config_path(name)) as f:
+                cfg = json.load(f)
+            s.precision, s.eps = cfg["precision"], cfg["eps"]
+            s.size_cache = cfg.get("size", 0.0)
+        else:
+            s.registers = hll.new_registers(precision)
+            s.dirty = True
+            os.makedirs(self._dir(name), exist_ok=True)
+            if not in_memory:
+                self._write_config(s)
+        self._sets[name] = s
+        return DONE
+
+    # --- C2/C3 set / bulk -------------------------------------------------------
+
+    def _require(self, name: str) -> _Set:
+        s = self._sets.get(name)
+        if s is None or name in self._pending_delete:
+            raise HlldError(SET_NOT_FOUND)
+        return s
+
+    def _fault_in(self, s: _Set) -> None:
+        if s.registers is not None:
+            return
+        path = self._data_path(s.name)
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                s.registers = hll.from_hlld_bytes(f.read(), s.precision)
+        else:
+            s.registers = hll.new_registers(s.precision)
+        s.page_ins += 1
+
+    def set(self, name: str, key: str) -> str:
+        return self.bulk(name, [key])
+
+    def bulk(self, name: str, keys) -> str:
+        s = self._require(name)
+        self._fault_in(s)
+        hll.add_hashes(s.registers, hll_hash(keys), s.precision)
+        s.sets += len(keys)
+        s.dirty = True
+        return DONE
+
+    def merge_registers(self, name: str, registers: np.ndarray, n_rows: int = 0) -> str:
+        """Merge an externally-built register vector (e.g. the output of a
+        distributed Spark build) into the named set."""
+        s = self._require(name)
+        self._fault_in(s)
+        if len(registers) != len(s.registers):
+            raise HlldError(f"Client Error: precision mismatch ({len(registers)} vs {len(s.registers)} registers)")
+        s.registers = hll.merge(s.registers, registers)
+        s.sets += n_rows
+        s.dirty = True
+        return DONE
+
+    def add_dataframe(self, name: str, df, col: str) -> str:
+        """Distributed ``bulk``: two-phase Spark build, merged in."""
+        from .operators.sketch import build_sketches
+
+        s = self._require(name)
+        spec = HllSpec(precision=s.precision)
+        row = build_sketches(df, [], col, spec).collect()
+        if not row:
+            return DONE
+        regs, _ = hll.deserialize(bytes(row[0]["sketch"]))
+        return self.merge_registers(name, regs, int(row[0]["n_rows"]))
+
+    # --- C4 info / C5 list -----------------------------------------------------
+
+    def _size(self, s: _Set) -> float:
+        # reads never fault in: proxied sets answer from the flushed cache
+        # (src/set.c:297-303)
+        if s.registers is None:
+            return s.size_cache
+        return hll.cardinality(s.registers, s.precision)
+
+    def info(self, name: str) -> dict:
+        s = self._require(name)
+        return {
+            "in_memory": 1 if s.in_memory else 0,
+            "page_ins": s.page_ins,
+            "page_outs": s.page_outs,
+            "eps": s.eps,
+            "precision": s.precision,
+            "sets": s.sets,
+            "size": self._size(s),
+            "storage": hll.bytes_for_precision(s.precision),
+        }
+
+    def list(self, prefix: str | None = None) -> list[dict]:
+        out = []
+        for name in sorted(self._sets):  # ART iteration is name-sorted (CHANGELOG.mdown:60)
+            if name in self._pending_delete:
+                continue
+            if prefix and not name.startswith(prefix):
+                continue
+            s = self._sets[name]
+            out.append(
+                {
+                    "name": name,
+                    "eps": s.eps,
+                    "precision": s.precision,
+                    "bytes": hll.bytes_for_precision(s.precision),
+                    "estimate": self._size(s),
+                }
+            )
+        return out
+
+    # --- C6 drop / vacuum --------------------------------------------------------
+
+    def drop(self, name: str, defer_vacuum: bool = False) -> str:
+        self._require(name)
+        self._pending_delete.add(name)
+        if not defer_vacuum:
+            self.vacuum()
+        return DONE
+
+    def vacuum(self) -> None:
+        """Physically remove pending-deleted sets (the vacuum thread,
+        src/set_manager.c:1058-1141)."""
+        for name in list(self._pending_delete):
+            self._sets.pop(name, None)
+            shutil.rmtree(self._dir(name), ignore_errors=True)
+            self._pending_delete.discard(name)
+
+    # --- C7 close / C8 clear -----------------------------------------------------
+
+    def close(self, name: str) -> str:
+        s = self._require(name)
+        if s.in_memory:
+            return DONE  # no-op for in-memory sets (src/set_manager.c:513-533)
+        self.flush(name)
+        if s.registers is not None:
+            s.registers = None
+            s.page_outs += 1
+        return DONE
+
+    def clear(self, name: str) -> str:
+        s = self._require(name)
+        if s.registers is not None:
+            raise HlldError(NOT_PROXIED)  # src/set_manager.c:475-501
+        del self._sets[name]  # files stay on disk; re-create rediscovers
+        return DONE
+
+    # --- C9 flush ------------------------------------------------------------------
+
+    def _write_config(self, s: _Set) -> None:
+        os.makedirs(self._dir(s.name), exist_ok=True)
+        with open(self._config_path(s.name), "w") as f:
+            json.dump(
+                {"precision": s.precision, "eps": s.eps, "in_memory": s.in_memory, "size": s.size_cache},
+                f,
+            )
+
+    def flush(self, name: str | None = None) -> str:
+        names = [name] if name else list(self._sets)
+        for n in names:
+            s = self._require(n)
+            if s.in_memory or not s.dirty or s.registers is None:
+                continue  # idempotent when clean (src/set.c:166-168)
+            s.size_cache = hll.cardinality(s.registers, s.precision)
+            os.makedirs(self._dir(n), exist_ok=True)
+            with open(self._data_path(n), "wb") as f:
+                f.write(hll.to_hlld_bytes(s.registers))
+            self._write_config(s)
+            s.dirty = False
+        return DONE

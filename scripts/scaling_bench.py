@@ -1,0 +1,88 @@
+"""Scaling-efficiency evidence for the north_rule: the same sketch-build
+job at local[8] (N) and local[32] (4N) on identical input; reports
+docs/sec at both and efficiency = (T_N / T_4N) / 4.
+
+Run: python3 scripts/scaling_bench.py [--rows 4000000]
+Each measurement runs in its own subprocess (fresh JVM) so parallelism
+levels don't share a session. Results are printed as JSON and appended
+to BENCH/BASELINE.md by hand (or --write).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from hlld_spark.session import get_spark
+from hlld_spark.core.accumulator import HllSpec
+from hlld_spark.operators.sketch import build_sketches
+from hlld_spark.sources.webpages import generate_web_pages
+
+cpus = int(sys.argv[1]); web_dir = sys.argv[2]; rows = int(sys.argv[3])
+spark = get_spark(app_name=f"scaling-{{cpus}}", cpus=cpus)
+if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):
+    generate_web_pages(spark, rows, partitions=128).write.mode("overwrite").parquet(web_dir)
+web = spark.read.parquet(web_dir)
+# warm-up workers + page cache
+build_sketches(web.limit(50000), ["lang"], "url", HllSpec(12)).collect()
+web.count()
+best = None
+for trial in range(3):
+    t0 = time.time()
+    build_sketches(web, ["lang"], "url", HllSpec(12)).collect()
+    dt = time.time() - t0
+    best = dt if best is None or dt < best else best
+spark.stop()
+print(json.dumps({{"cpus": cpus, "sec": round(best, 3), "docs_per_sec": round(rows / best, 1)}}))
+"""
+
+
+def run_level(cpus: int, web_dir: str, rows: int) -> dict:
+    script = _CHILD.format(repo=REPO)
+    out = subprocess.run(
+        [sys.executable, "-c", script, str(cpus), web_dir, str(rows)],
+        capture_output=True,
+        text=True,
+        timeout=900,
+    )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-3000:])
+        raise SystemExit(f"child at cpus={cpus} failed")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--x", type=int, default=4)
+    args = ap.parse_args()
+
+    web_dir = os.path.join(tempfile.gettempdir(), f"hlld_scaling_web_{args.rows}")
+    lo = run_level(args.n, web_dir, args.rows)
+    hi = run_level(args.n * args.x, web_dir, args.rows)
+    eff = (lo["sec"] / hi["sec"]) / args.x
+    result = {
+        "job": "hll sketch build: distinct urls per lang, p12",
+        "rows": args.rows,
+        "low": lo,
+        "high": hi,
+        "speedup": round(lo["sec"] / hi["sec"], 3),
+        "scaling_efficiency": round(eff, 3),
+        "target": 0.8,
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+
+
+if __name__ == "__main__":
+    main()

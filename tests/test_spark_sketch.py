@@ -1,0 +1,142 @@
+"""Spark-layer sketch aggregation: correctness vs exact, shard invariance,
+re-aggregation, and the web_pages corpus invariants."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hlld_spark.core import hll
+from hlld_spark.core.accumulator import HllSpec
+from hlld_spark.core.hashing import hll_hash
+from hlld_spark.operators.sketch import (
+    build_sketches,
+    distinct_count,
+    merge_sketches,
+    with_estimate,
+)
+from hlld_spark.sources.webpages import extract_text, generate_web_pages
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def wp(spark):
+    return generate_web_pages(spark, 20000, partitions=16).cache()
+
+
+def test_distinct_count_within_bound(spark, docs):
+    est = {r["lang"]: r["estimate"] for r in distinct_count(docs, ["lang"], "doc_id", HllSpec(14)).collect()}
+    exact = {r["lang"]: r["d"] for r in docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("d")).collect()}
+    assert set(est) == set(exact)
+    for lang, d in exact.items():
+        assert abs(est[lang] - d) / d <= 3 * hll.error_for_precision(14)
+
+
+def test_global_sketch_no_keys(spark, docs):
+    row = with_estimate(build_sketches(docs, [], "doc_id", HllSpec(14))).first()
+    exact = docs.select("doc_id").distinct().count()
+    assert abs(row["estimate"] - exact) / exact <= 3 * hll.error_for_precision(14)
+    assert row["n_rows"] == docs.filter(F.col("doc_id").isNotNull()).count()
+
+
+def test_sketch_matches_local_build(spark, docs):
+    """Distributed build == single-threaded numpy build, byte-identical."""
+    spec = HllSpec(12)
+    rows = build_sketches(docs, ["lang"], "doc_id", spec).collect()
+    local = docs.select("lang", "doc_id").toPandas()
+    for r in rows:
+        grp = local[local["lang"] == r["lang"]]
+        regs = hll.new_registers(12)
+        hll.add_hashes(regs, hll_hash(grp["doc_id"].astype(str)), 12)
+        got, p = hll.deserialize(bytes(r["sketch"]))
+        assert p == 12
+        assert np.array_equal(got, regs), f"lang={r['lang']}"
+
+
+@pytest.mark.parametrize("parts", [1, 3, 32])
+def test_shard_invariance_across_partitionings(spark, docs, parts):
+    spec = HllSpec(12)
+    base = {r["lang"]: bytes(r["sketch"]) for r in build_sketches(docs, ["lang"], "doc_id", spec).collect()}
+    rep = {
+        r["lang"]: bytes(r["sketch"])
+        for r in build_sketches(docs.repartition(parts), ["lang"], "doc_id", spec).collect()
+    }
+    assert base == rep
+
+
+def test_merge_sketches_reaggregation(spark, docs):
+    """per-(lang, source) sketches merged up to per-lang == direct per-lang
+    build, byte-identical (sketch re-aggregability)."""
+    spec = HllSpec(12)
+    fine = build_sketches(docs, ["lang", "source"], "doc_id", spec)
+    up = {r["lang"]: bytes(r["sketch"]) for r in merge_sketches(fine, ["lang"]).collect()}
+    direct = {r["lang"]: bytes(r["sketch"]) for r in build_sketches(docs, ["lang"], "doc_id", spec).collect()}
+    assert up == direct
+    # and all the way to global
+    g = merge_sketches(fine, []).collect()[0]
+    dg = build_sketches(docs, [], "doc_id", spec).collect()[0]
+    assert bytes(g["sketch"]) == bytes(dg["sketch"])
+
+
+def test_nulls_dropped(spark):
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", None), ("b", "y"), ("b", "y")], ["k", "v"]
+    )
+    rows = {r["k"]: r for r in distinct_count(df, ["k"], "v", HllSpec(14)).collect()}
+    assert rows["a"]["n_rows"] == 1 and rows["b"]["n_rows"] == 2
+    assert rows["a"]["estimate"] == pytest.approx(1, abs=0.01)
+    assert rows["b"]["estimate"] == pytest.approx(1, abs=0.01)
+
+
+def test_empty_input(spark):
+    df = spark.createDataFrame([], "k string, v string")
+    assert distinct_count(df, ["k"], "v").count() == 0
+    assert build_sketches(df, [], "v").count() == 0
+
+
+def test_timestamp_group_key(spark, wp):
+    spec = HllSpec(12)
+    by_day = distinct_count(wp.withColumn("day", F.to_date("warc_ts")), ["day"], "url", spec)
+    exact = wp.withColumn("day", F.to_date("warc_ts")).groupBy("day").agg(
+        F.countDistinct("url").alias("d")
+    )
+    j = by_day.join(exact, "day").collect()
+    assert len(j) == 14
+    for r in j:
+        assert abs(r["estimate"] - r["d"]) / r["d"] <= 3 * hll.error_for_precision(12)
+
+
+# --- web_pages corpus invariants (FIXTURES.md F1) ---------------------------
+
+
+def test_webpages_deterministic(spark):
+    a = generate_web_pages(spark, 2000, partitions=4)
+    b = generate_web_pages(spark, 2000, partitions=7)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_webpages_extraction_invariant(spark, wp):
+    assert extract_text(wp).filter(F.col("extracted_text") != F.col("text")).count() == 0
+
+
+def test_webpages_duplicate_urls_share_bytes(spark, wp):
+    """Duplicate urls must carry byte-identical html/text (per-url invariant)."""
+    dup = (
+        wp.groupBy("url")
+        .agg(F.countDistinct("text").alias("nt"), F.countDistinct(F.md5(F.base64("html"))).alias("nh"), F.count("*").alias("n"))
+        .filter((F.col("nt") > 1) | (F.col("nh") > 1))
+        .count()
+    )
+    assert dup == 0
+    assert wp.select("url").distinct().count() < wp.count()  # dups exist
+
+
+def test_webpages_lang_skew(spark, wp):
+    counts = {r["lang"]: r["count"] for r in wp.groupBy("lang").count().collect()}
+    assert max(counts, key=counts.get) == "en"
+    assert counts["en"] / sum(counts.values()) > 0.4
