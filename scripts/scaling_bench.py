@@ -24,21 +24,19 @@ import json, os, sys, time
 sys.path.insert(0, {repo!r})
 from hlld_spark.session import get_spark
 from hlld_spark.core.accumulator import HllSpec
-from hlld_spark.operators.sketch import build_sketches
+from hlld_spark.operators.sketch import build_sketches_parquet
 from hlld_spark.sources.webpages import generate_web_pages
 
 cpus = int(sys.argv[1]); web_dir = sys.argv[2]; rows = int(sys.argv[3])
 spark = get_spark(app_name=f"scaling-{{cpus}}", cpus=cpus)
 if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):
-    generate_web_pages(spark, rows, partitions=128).write.mode("overwrite").parquet(web_dir)
-web = spark.read.parquet(web_dir)
+    generate_web_pages(spark, rows, partitions=256).write.mode("overwrite").parquet(web_dir)
 # warm-up workers + page cache
-build_sketches(web.limit(50000), ["lang"], "url", HllSpec(12)).collect()
-web.count()
+build_sketches_parquet(spark, web_dir, ["lang"], "url", HllSpec(12)).collect()
 best = None
-for trial in range(3):
+for trial in range(5):
     t0 = time.time()
-    build_sketches(web, ["lang"], "url", HllSpec(12)).collect()
+    build_sketches_parquet(spark, web_dir, ["lang"], "url", HllSpec(12)).collect()
     dt = time.time() - t0
     best = dt if best is None or dt < best else best
 spark.stop()
@@ -52,7 +50,7 @@ def run_level(cpus: int, web_dir: str, rows: int) -> dict:
         [sys.executable, "-c", script, str(cpus), web_dir, str(rows)],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=1800,
     )
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-3000:])
@@ -62,8 +60,8 @@ def run_level(cpus: int, web_dir: str, rows: int) -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=4_000_000)
-    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--rows", type=int, default=64_000_000)
+    ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--x", type=int, default=4)
     args = ap.parse_args()
 
