@@ -1,0 +1,420 @@
+"""Deduplication operators for large-scale text corpora.
+
+Five strategies, all DataFrame-in → DataFrame-out and scale-shaped
+(LSH bucketing instead of all-pairs; sketch signatures shuffle instead
+of raw text):
+
+* exact        — content-hash groupBy (pure Catalyst, md5)
+* MinHash+LSH  — shingle → minhash signature (vectorized reduceat) →
+                 banded bucket join (Broder 1997; Leskovec/Rajaraman/
+                 Ullman ch.3 construction)
+* SimHash      — token-hash bit votes → 64-bit fingerprint → block
+                 bucketing for hamming ≤ t candidates (Charikar 2002,
+                 Manku et al. 2007 block trick)
+* n-gram Jaccard — exact Jaccard on char-n-gram sets for candidate
+                 pairs (verification primitive + small-group exact path)
+* embedding cosine — random-hyperplane LSH buckets + exact cosine
+                 verify (see operators/similarity.py for ANN search)
+
+Group keys and signatures shuffle; raw text crosses the wire only for
+pair verification (bounded by bucket sizes).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..core.hashing import hll_hash, murmur3_x64_128
+
+_U64 = np.uint64
+_MERSENNE = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup: hash-groupBy
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Keep the min-id row per exact content group. Pure Catalyst:
+    md5 over the concatenated content → groupBy → broadcast-free semi join."""
+    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]))
+    keepers = (
+        df.withColumn("__h", h)
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+# ---------------------------------------------------------------------------
+# shingling + minhash (vectorized over a whole Arrow batch via reduceat)
+# ---------------------------------------------------------------------------
+
+
+def _char_shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-char shingle hashes for a batch, concatenated, plus per-doc
+    offsets. One murmur pass over a single buffer: shingles are expressed
+    as strided windows of the concatenated utf-8 bytes (per doc)."""
+    enc = [(t or "").encode("utf-8") for t in texts]
+    hashes_parts = []
+    counts = np.zeros(len(enc), dtype=np.int64)
+    # batch small docs together by building explicit shingle lists;
+    # windows are materialized as a 2D byte matrix per doc group
+    shingle_bytes = []
+    for i, b in enumerate(enc):
+        n = max(len(b) - k + 1, 0)
+        counts[i] = n if n > 0 else 1
+        if n <= 0:
+            shingle_bytes.append(b)  # whole (short) doc as its only shingle
+        else:
+            v = np.frombuffer(b, dtype=np.uint8)
+            win = np.lib.stride_tricks.sliding_window_view(v, k)
+            shingle_bytes.extend(win.tobytes()[j * k : (j + 1) * k] for j in range(n))
+    h = hll_hash(shingle_bytes)
+    offsets = np.concatenate(([0], np.cumsum(counts)))
+    return h, offsets
+
+
+def _minhash_signatures(texts: pd.Series, num_perm: int, k: int, seed: int = 1) -> np.ndarray:
+    """(n_docs, num_perm) uint64 minhash signatures, vectorized: one
+    shingle-hash pass + num_perm affine mixes with minimum.reduceat."""
+    h, offsets = _char_shingle_hashes(texts, k)
+    n_docs = len(offsets) - 1
+    starts = offsets[:-1]
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64) | _U64(1)
+    b = rng.randint(0, _MERSENNE, size=num_perm, dtype=np.int64).astype(np.uint64)
+    sig = np.empty((n_docs, num_perm), dtype=np.uint64)
+    if len(h) == 0:
+        return sig
+    for p in range(num_perm):
+        mixed = h * a[p] + b[p]  # uint64 wrap = universal-enough mixing
+        sig[:, p] = np.minimum.reduceat(mixed, starts)
+    return sig
+
+
+def minhash_signature_df(
+    df: DataFrame, id_col: str, text_col: str, num_perm: int = 128, shingle_k: int = 5
+) -> DataFrame:
+    """(id, signature binary) per doc."""
+    out_schema = StructType(
+        [df.schema[id_col], StructField("signature", BinaryType(), False)]
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            sig = _minhash_signatures(pdf[text_col], num_perm, shingle_k)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "signature": [s.tobytes() for s in sig]}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup clusters via banded MinHash LSH.
+
+    Returns (id, keeper_id, jaccard_est): every doc mapped to the minimum
+    id among its candidates whose estimated Jaccard ≥ threshold (one label-
+    propagation round per band join; transitive closure approximated by
+    `rounds` of min-propagation inside the band groupBy).
+
+    Scale shape: rows shuffled are (band_key → id, signature) pairs —
+    band keys are 8-byte hashes, signatures num_perm*8 bytes; no text
+    moves after signature computation.
+    """
+    rows = num_perm // bands
+    sig_df = minhash_signature_df(df, id_col, text_col, num_perm, shingle_k).cache()
+
+    band_schema = StructType(
+        [
+            StructField("band", LongType(), False),
+            StructField("bucket", LongType(), False),
+            sig_df.schema[id_col],
+            StructField("signature", BinaryType(), False),
+        ]
+    )
+
+    def explode_bands(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in pdf["signature"]])
+            out_band, out_bucket, out_id, out_sig = [], [], [], []
+            for b in range(bands):
+                chunk = sigs[:, b * rows : (b + 1) * rows]
+                bucket = hll_hash([c.tobytes() for c in chunk]).astype(np.int64)
+                out_band.append(np.full(len(pdf), b, dtype=np.int64))
+                out_bucket.append(bucket)
+                out_id.append(pdf[id_col].values)
+                out_sig.extend(pdf["signature"].values)
+            yield pd.DataFrame(
+                {
+                    "band": np.concatenate(out_band),
+                    "bucket": np.concatenate(out_bucket),
+                    id_col: np.concatenate(out_id),
+                    "signature": out_sig,
+                }
+            )
+
+    banded = sig_df.mapInPandas(explode_bands, schema=band_schema)
+
+    pair_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("keeper_id", LongType(), False),
+            StructField("jaccard_est", DoubleType(), False),
+        ]
+    )
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id": [], "keeper_id": [], "jaccard_est": []}).astype(
+                {"id": np.int64, "keeper_id": np.int64, "jaccard_est": np.float64}
+            )
+        ids = pdf[id_col].to_numpy()
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in pdf["signature"]])
+        order = np.argsort(ids)
+        ids, sigs = ids[order], sigs[order]
+        # estimated jaccard vs the bucket's min-id doc; sufficient for
+        # keeper assignment (min-propagation), avoids O(n²) in hot buckets
+        eq = (sigs == sigs[0]).mean(axis=1)
+        keep = eq >= threshold
+        return pd.DataFrame(
+            {"id": ids[keep], "keeper_id": ids[0], "jaccard_est": eq[keep]}
+        )
+
+    pairs = banded.groupBy("band", "bucket").applyInPandas(bucket_pairs, schema=pair_schema)
+    # a doc may match in several bands/buckets → global min keeper
+    labels = pairs.groupBy("id").agg(
+        F.min("keeper_id").alias("keeper_id"), F.max("jaccard_est").alias("jaccard_est")
+    )
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(labels, "id", "left")
+        .withColumn("keeper_id", F.coalesce(F.col("keeper_id"), F.col("id")))
+        .withColumn("jaccard_est", F.coalesce(F.col("jaccard_est"), F.lit(1.0)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _simhash_batch(texts: pd.Series) -> np.ndarray:
+    """64-bit simhash per doc: whitespace tokens, ±1 votes per bit."""
+    toks_per_doc = [(t or "").split() for t in texts]
+    counts = np.array([max(len(t), 1) for t in toks_per_doc], dtype=np.int64)
+    flat = [tok for toks in toks_per_doc for tok in (toks or [""])]
+    h = hll_hash(flat)
+    starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+    out = np.zeros(len(texts), dtype=np.uint64)
+    for bit in range(64):
+        votes = (((h >> _U64(bit)) & _U64(1)).astype(np.int32) << 1) - 1
+        tot = np.add.reduceat(votes, starts)
+        out |= (tot > 0).astype(np.uint64) << _U64(bit)
+    return out
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    out_schema = StructType([df.schema[id_col], StructField("simhash", LongType(), False)])
+
+    def compute(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].values, "simhash": _simhash_batch(pdf[text_col]).astype(np.int64)}
+            )
+
+    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+
+
+def simhash_dedup(
+    df: DataFrame, id_col: str, text_col: str, hamming_threshold: int = 3, blocks: int = 4
+) -> DataFrame:
+    """Near-dup via SimHash: candidates share at least one of `blocks`
+    16-bit blocks exactly (pigeonhole: hamming ≤ blocks−1 guarantees a
+    shared block); verified by popcount ≤ threshold."""
+    sh = simhash_df(df, id_col, text_col)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    exploded = None
+    for b in range(blocks):
+        part = sh.select(
+            F.lit(b).alias("block"),
+            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("block_val"),
+            F.col(id_col).alias("id"),
+            "simhash",
+        )
+        exploded = part if exploded is None else exploded.unionAll(part)
+
+    pair_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("keeper_id", LongType(), False),
+            StructField("hamming", LongType(), False),
+        ]
+    )
+    thr = hamming_threshold
+
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": [], "keeper_id": [], "hamming": []}).astype(
+                {"id": np.int64, "keeper_id": np.int64, "hamming": np.int64}
+            )
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        hs = pdf["simhash"].to_numpy().astype(np.uint64)[order]
+        x = hs ^ hs[0]
+        ham = np.zeros(len(x), dtype=np.int64)
+        v = x.copy()
+        for _ in range(64):  # popcount via shift-add (vectorized)
+            ham += (v & _U64(1)).astype(np.int64)
+            v >>= _U64(1)
+        keep = ham <= thr
+        return pd.DataFrame({"id": ids[keep], "keeper_id": ids[0], "hamming": ham[keep]})
+
+    pairs = exploded.groupBy("block", "block_val").applyInPandas(bucket_verify, schema=pair_schema)
+    labels = pairs.groupBy("id").agg(F.min("keeper_id").alias("keeper_id"), F.min("hamming").alias("hamming"))
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(labels, "id", "left")
+        .withColumn("keeper_id", F.coalesce(F.col("keeper_id"), F.col("id")))
+        .withColumn("hamming", F.coalesce(F.col("hamming"), F.lit(0)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact) — verification primitive
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    pairs_df: DataFrame, text_a: str, text_b: str, n: int = 3, out: str = "jaccard"
+) -> DataFrame:
+    """Exact Jaccard similarity of char-n-gram sets for explicit pairs."""
+
+    @F.pandas_udf(DoubleType())
+    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+        outv = np.zeros(len(a))
+        for i, (x, y) in enumerate(zip(a, b)):
+            sx = {(x or "")[j : j + n] for j in range(max(len(x or "") - n + 1, 1))}
+            sy = {(y or "")[j : j + n] for j in range(max(len(y or "") - n + 1, 1))}
+            u = len(sx | sy)
+            outv[i] = len(sx & sy) / u if u else 1.0
+        return pd.Series(outv)
+
+    return pairs_df.withColumn(out, jac(F.col(text_a), F.col(text_b)))
+
+
+def ngram_jaccard_dedup(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, threshold: float = 0.8,
+    num_perm: int = 128, bands: int = 32,
+) -> DataFrame:
+    """Exact-Jaccard dedup: MinHash-LSH generates candidates (high recall
+    via many bands), exact n-gram Jaccard verifies. Returns
+    (id, keeper_id, jaccard) with exact scores."""
+    cand = minhash_lsh_dedup(df, id_col, text_col, num_perm=num_perm, bands=bands,
+                             shingle_k=n, threshold=0.5)
+    cand_pairs = cand.filter(F.col("id") != F.col("keeper_id"))
+    texts = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__ta"))
+    keep_texts = df.select(F.col(id_col).alias("keeper_id"), F.col(text_col).alias("__tb"))
+    joined = cand_pairs.join(texts, "id").join(keep_texts, "keeper_id")
+    verified = ngram_jaccard_pairs(joined, "__ta", "__tb", n=n).filter(F.col("jaccard") >= threshold)
+    labels = verified.groupBy("id").agg(F.min("keeper_id").alias("keeper_id"), F.max("jaccard").alias("jaccard"))
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(labels, "id", "left")
+        .withColumn("keeper_id", F.coalesce(F.col("keeper_id"), F.col("id")))
+        .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(1.0)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def embedding_cosine_dedup(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, planes: int = 16, seed: int = 7
+) -> DataFrame:
+    """Near-dup by cosine similarity: random-hyperplane LSH (Charikar)
+    buckets, exact cosine verify against the bucket's min-id vector."""
+    sig_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("bucket", LongType(), False),
+            StructField("vec", ArrayType(DoubleType()), False),
+        ]
+    )
+
+    def sign_buckets(batches):
+        rng = np.random.RandomState(seed)
+        planes_mat = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if planes_mat is None:
+                planes_mat = rng.standard_normal((vecs.shape[1], planes))
+            proj = vecs @ planes_mat > 0
+            bucket = np.zeros(len(vecs), dtype=np.int64)
+            for p in range(planes):
+                bucket |= proj[:, p].astype(np.int64) << p
+            yield pd.DataFrame({"id": pdf[id_col].values, "bucket": bucket, "vec": list(vecs)})
+
+    sigs = df.select(id_col, vec_col).mapInPandas(sign_buckets, schema=sig_schema)
+
+    pair_schema = StructType(
+        [
+            StructField("id", LongType(), False),
+            StructField("keeper_id", LongType(), False),
+            StructField("cosine", DoubleType(), False),
+        ]
+    )
+    thr = threshold
+
+    def verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"id": [], "keeper_id": [], "cosine": []}).astype(
+                {"id": np.int64, "keeper_id": np.int64, "cosine": np.float64}
+            )
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        vecs = np.stack([np.asarray(v) for v in pdf["vec"]])[order]
+        ref = vecs[0]
+        denom = np.linalg.norm(vecs, axis=1) * np.linalg.norm(ref)
+        cos = np.where(denom > 0, vecs @ ref / np.where(denom == 0, 1, denom), 0.0)
+        keep = cos >= thr
+        return pd.DataFrame({"id": ids[keep], "keeper_id": ids[0], "cosine": cos[keep]})
+
+    pairs = sigs.groupBy("bucket").applyInPandas(verify, schema=pair_schema)
+    labels = pairs.groupBy("id").agg(F.min("keeper_id").alias("keeper_id"), F.max("cosine").alias("cosine"))
+    all_ids = df.select(F.col(id_col).alias("id"))
+    return (
+        all_ids.join(labels, "id", "left")
+        .withColumn("keeper_id", F.coalesce(F.col("keeper_id"), F.col("id")))
+        .withColumn("cosine", F.coalesce(F.col("cosine"), F.lit(1.0)))
+    )

@@ -1,0 +1,177 @@
+"""Approximate-nearest-neighbor search over embedding columns.
+
+Three strategies over `embeddings(vec_id, embedding array<float>, ...)`:
+
+* brute-force cosine top-k — the exactness baseline: vectorized numpy
+  dot products per partition, per-partition top-k, global top-k merge
+  (never shuffles more than partitions×k rows)
+* LSH (random hyperplane, Charikar 2002) — multi-table bucket probe:
+  only candidate buckets are scanned
+* IVF (inverted file) — k-means-lite centroids (sampled, driver-fit,
+  broadcast), nprobe nearest lists scanned
+
+Query vectors are broadcast as plain closure constants (tiny); corpus
+vectors never leave their partitions except as top-k candidates.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+
+def _as_matrix(col: pd.Series) -> np.ndarray:
+    return np.stack([np.asarray(v, dtype=np.float64) for v in col])
+
+
+def _topk_schema(id_field) -> StructType:
+    return StructType([id_field, StructField("cosine", DoubleType(), False)])
+
+
+def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query, k: int = 10) -> DataFrame:
+    """Exact cosine top-k: per-partition scan + heap, global merge.
+
+    Shuffle volume: partitions × k (id, cosine) pairs — independent of
+    corpus size. The scan is a single numpy matmul per Arrow batch.
+    """
+    q = np.asarray(query, dtype=np.float64)
+    qn = np.linalg.norm(q)
+    if qn == 0:
+        raise ValueError("query vector has zero norm")
+    q = q / qn
+    schema = _topk_schema(df.schema[id_col])
+
+    def part_topk(batches):
+        best_ids: list = []
+        best_cos = np.zeros(0)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = _as_matrix(pdf[vec_col])
+            norms = np.linalg.norm(vecs, axis=1)
+            cos = (vecs @ q) / np.where(norms == 0, 1.0, norms)
+            cos = np.where(norms == 0, -1.0, cos)
+            ids = pdf[id_col].to_numpy()
+            cand_cos = np.concatenate([best_cos, cos])
+            cand_ids = np.concatenate([np.asarray(best_ids, dtype=ids.dtype), ids]) if best_ids or len(ids) else ids
+            top = np.argsort(-cand_cos, kind="stable")[:k]
+            best_cos = cand_cos[top]
+            best_ids = list(cand_ids[top])
+        if len(best_ids):
+            yield pd.DataFrame({id_col: best_ids, "cosine": best_cos})
+
+    partials = df.select(id_col, vec_col).mapInPandas(part_topk, schema=schema)
+    return partials.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def lsh_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query,
+    k: int = 10,
+    planes: int = 12,
+    tables: int = 4,
+    seed: int = 13,
+) -> DataFrame:
+    """ANN via multi-table hyperplane LSH: scan only rows whose bucket
+    matches the query's bucket in ≥1 table, then exact-cosine rank."""
+    q = np.asarray(query, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    dim = len(q)
+    rng = np.random.RandomState(seed)
+    tables_mat = rng.standard_normal((tables, dim, planes))
+    q_buckets = [
+        sum(int(b) << i for i, b in enumerate(q @ tables_mat[t] > 0)) for t in range(tables)
+    ]
+    schema = _topk_schema(df.schema[id_col])
+
+    def part_scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = _as_matrix(pdf[vec_col])
+            match = np.zeros(len(vecs), dtype=bool)
+            for t in range(tables):
+                proj = vecs @ tables_mat[t] > 0
+                bucket = np.zeros(len(vecs), dtype=np.int64)
+                for p in range(planes):
+                    bucket |= proj[:, p].astype(np.int64) << p
+                match |= bucket == q_buckets[t]
+            if not match.any():
+                continue
+            vv = vecs[match]
+            norms = np.linalg.norm(vv, axis=1)
+            cos = (vv @ q) / np.where(norms == 0, 1.0, norms)
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy()[match], "cosine": cos})
+
+    cands = df.select(id_col, vec_col).mapInPandas(part_scan, schema=schema)
+    return cands.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
+
+
+def fit_ivf_centroids(
+    df: DataFrame, vec_col: str, n_lists: int = 16, sample: int = 4096, iters: int = 10, seed: int = 3
+) -> np.ndarray:
+    """k-means-lite on a driver-side sample (Lloyd iterations in numpy).
+    The sample is bounded (default 4096 vectors) — independent of corpus
+    size; centroids broadcast to workers as closure constants."""
+    rows = df.select(vec_col).limit(sample).collect()
+    x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
+    rng = np.random.RandomState(seed)
+    cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(cent)):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(0)
+    return cent
+
+
+def ivf_assign(df: DataFrame, id_col: str, vec_col: str, centroids: np.ndarray) -> DataFrame:
+    """Add the nearest-centroid list id (the IVF partitioning key —
+    repartition/bucket by it to co-locate lists)."""
+    cent = centroids
+
+    schema = StructType(list(df.schema.fields) + [StructField("list_id", IntegerType(), False)])
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = _as_matrix(pdf[vec_col])
+            d = ((vecs[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+            pdf = pdf.copy()
+            pdf["list_id"] = d.argmin(1).astype(np.int32)
+            yield pdf
+
+    return df.mapInPandas(assign, schema=schema)
+
+
+def ivf_topk(
+    assigned_df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    query,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Search only the nprobe nearest inverted lists (partition-pruned
+    when the table is partitioned/bucketed by list_id)."""
+    q = np.asarray(query, dtype=np.float64)
+    d = ((centroids - q[None, :]) ** 2).sum(-1)
+    probe = [int(i) for i in np.argsort(d)[:nprobe]]
+    pruned = assigned_df.filter(F.col("list_id").isin(probe))
+    return cosine_topk(pruned, id_col, vec_col, q, k)

@@ -250,6 +250,7 @@ def build_sketches_parquet(
     spec=None,
     filter=None,
     files_per_task: int | None = None,
+    batch_rows: int = 32768,
 ) -> DataFrame:
     """Sketch build with **worker-side parquet reads**: file splits are
     planned on the driver and each Spark python task reads its splits
@@ -299,7 +300,7 @@ def build_sketches_parquet(
                 # use_threads=False: one core per task slot — pyarrow's
                 # internal pool would oversubscribe when every slot reads
                 tbl = pq.read_table(fp, columns=fkeys + [fcol], filters=ffilter, use_threads=False)
-                yield from build(tbl.to_batches(65536))
+                yield from build(tbl.to_batches(batch_rows))
 
     if files_per_task is None:
         # exactly 2 waves of full-width tasks: balanced (uniform files)

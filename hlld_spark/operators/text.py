@@ -1,0 +1,191 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot paths are JVM-side Catalyst expressions where the semantics
+allow (token counting, quality ratios — whole-stage-codegen'd, no
+Python); Python appears only where set/hash semantics require it
+(language ID profiles, rolling-hash fingerprints), always Arrow-batched.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ArrayType, DoubleType, LongType, StringType
+
+from ..core.hashing import hll_hash
+
+_U64 = np.uint64
+
+# ---------------------------------------------------------------------------
+# token counting — pure Catalyst
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer: runs of letters, runs of digits, single
+# punctuation — the GPT-2-style regex family, simplified to RE2-safe form
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def with_token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """whitespace_tokens: split on runs of whitespace;
+    bpe_tokens: regexp matches of the BPE-ish pre-tokenizer. Both JVM-side."""
+    t = F.col(text_col)
+    ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    bpe = F.size(F.expr(f"regexp_extract_all({text_col}, '{_BPE_RE}', 0)"))
+    return df.withColumn("whitespace_tokens", ws).withColumn("bpe_tokens", bpe)
+
+
+# ---------------------------------------------------------------------------
+# quality scoring — pure Catalyst
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = "the of and to in a is that it for on with as at by an be this from or are".split()
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic quality features + composite score:
+    length, mean word length, punctuation/digit/space ratios, stopword
+    ratio (English stopword list), all whole-stage-codegen."""
+    t = F.col(text_col)
+    length = F.length(t)
+    safe_len = F.greatest(length, F.lit(1))
+    n_words = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(F.split(F.trim(t), r"\s+")))
+    safe_words = F.greatest(n_words, F.lit(1))
+    punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    digits = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    lower = F.lower(t)
+    stop_hits = F.size(F.filter(F.split(F.trim(lower), r"\s+"), lambda w: w.isin(*_STOPWORDS)))
+    mean_word_len = (length - (safe_words - 1)) / safe_words
+    df = (
+        df.withColumn("n_chars", length)
+        .withColumn("n_words", n_words)
+        .withColumn("punct_ratio", punct / safe_len)
+        .withColumn("digit_ratio", digits / safe_len)
+        .withColumn("stopword_ratio", stop_hits / safe_words)
+        .withColumn("mean_word_len", mean_word_len)
+    )
+    # composite: reward moderate length & stopword presence, punish
+    # punctuation/digit soup (C4/Gopher-style heuristics, simplified)
+    score = (
+        F.least(F.col("n_words") / 100.0, F.lit(1.0)) * 0.4
+        + F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(F.col("punct_ratio") * 5.0, F.lit(1.0))) * 0.2
+        + (1.0 - F.least(F.col("digit_ratio") * 5.0, F.lit(1.0))) * 0.1
+    )
+    return df.withColumn("quality_score", F.round(score, 6))
+
+
+# ---------------------------------------------------------------------------
+# language ID — n-gram profile heuristic (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+# tiny per-language marker profiles: common function words + distinctive
+# character ranges; deterministic and self-contained (public linguistics
+# common knowledge, not a trained model)
+_LANG_MARKERS = {
+    "en": ["the ", " and ", " of ", " to ", " is ", " that "],
+    "es": [" de ", " la ", " que ", " el ", " en ", " los "],
+    "de": [" der ", " die ", " und ", " das ", " ist ", " nicht "],
+    "fr": [" le ", " de ", " et ", " la ", " les ", " des "],
+    "pt": [" de ", " que ", " e ", " do ", " da ", " em "],
+    "it": [" di ", " che ", " il ", " la ", " per ", " non "],
+    "nl": [" de ", " het ", " een ", " en ", " van ", " niet "],
+    "ru": None,  # script-range detection
+    "ja": None,
+    "zh": None,
+}
+
+
+def _lang_id_batch(texts: pd.Series) -> pd.Series:
+    out = []
+    for t in texts:
+        t = (t or "").lower()
+        if not t:
+            out.append("und")
+            continue
+        # script ranges first (vectorized per doc via ord buckets)
+        arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        n = len(arr)
+        cyr = ((arr >= 0x0400) & (arr <= 0x04FF)).mean()
+        kana = ((arr >= 0x3040) & (arr <= 0x30FF)).mean()
+        han = ((arr >= 0x4E00) & (arr <= 0x9FFF)).mean()
+        if cyr > 0.3:
+            out.append("ru")
+            continue
+        if kana > 0.05:
+            out.append("ja")
+            continue
+        if han > 0.3:
+            out.append("zh")
+            continue
+        padded = f" {t} "
+        best, best_score = "und", 0.0
+        for lang, markers in _LANG_MARKERS.items():
+            if not markers:
+                continue
+            score = sum(padded.count(m) for m in markers) / max(n / 100, 1)
+            if score > best_score:
+                best, best_score = lang, score
+        out.append(best if best_score > 0 else "und")
+    return pd.Series(out)
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_id") -> DataFrame:
+    @F.pandas_udf(StringType())
+    def lang_udf(t: pd.Series) -> pd.Series:
+        return _lang_id_batch(t)
+
+    return df.withColumn(out, lang_udf(F.col(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting — winnowed rolling hash (Arrow-batched)
+# ---------------------------------------------------------------------------
+
+
+def _rolling_fingerprints(texts: pd.Series, k: int = 8, window: int = 16) -> list:
+    """Winnowing (Schleimer/Wilkerson/Aiken 2003): k-gram rolling hashes,
+    keep the minimum in every sliding window → compact fingerprint set."""
+    out = []
+    B = _U64(1000003)
+    for t in texts:
+        b = np.frombuffer((t or "").encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+        if len(b) < k:
+            out.append([int(x) for x in hll_hash([t or ""])[:1]])
+            continue
+        # polynomial rolling hash of every k-gram, fully vectorized:
+        # h[i] = sum b[i+j] * B^(k-1-j)
+        h = np.zeros(len(b) - k + 1, dtype=np.uint64)
+        for j in range(k):
+            h = h * B + b[j : len(b) - k + 1 + j]
+        if len(h) <= window:
+            out.append([int(h.min())])
+            continue
+        win = np.lib.stride_tricks.sliding_window_view(h, window)
+        mins = win.min(axis=1)
+        out.append(sorted({int(x) for x in mins}))
+    return out
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprints",
+                     k: int = 8, window: int = 16) -> DataFrame:
+    @F.pandas_udf(ArrayType(LongType()))
+    def fp_udf(t: pd.Series) -> pd.Series:
+        return pd.Series([[np.int64(np.uint64(x).astype(np.int64)) for x in fp] for fp in _rolling_fingerprints(t, k, window)])
+
+    return df.withColumn(out, fp_udf(F.col(text_col)))
+
+
+def fingerprint_overlap_pairs(df: DataFrame, id_col: str, fp_col: str = "fingerprints",
+                              min_shared: int = 2) -> DataFrame:
+    """Docs sharing ≥ min_shared winnowed fingerprints (inverted-index
+    join: explode → self-join on fingerprint → count shared)."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(fp_col).alias("fp"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("shared_fingerprints"))
+        .filter(F.col("shared_fingerprints") >= min_shared)
+    )

@@ -1,0 +1,118 @@
+"""Structured Streaming sketch aggregation.
+
+The reference is an *online* server: incremental ``set`` ops mutate
+named registers, periodic flush persists them (src/background.c:99-146).
+The streaming restatement: registers are the **state** of a stateful
+operator, the register-max update is the state transition, and each
+trigger emits the refreshed estimate.
+
+Two surfaces:
+
+* :func:`sketch_stream` — ``groupBy(keys).applyInPandasWithState``:
+  state = one serialized sketch per key, arbitrary-cardinality keys,
+  estimate emitted on every update.
+* :func:`windowed_sketch_stream` — event-time tumbling windows with a
+  watermark: one sketch per (window, keys...), late data beyond the
+  watermark dropped by Spark's state eviction.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..core.accumulator import HllSpec, accumulator_for, deserialize_any
+
+
+def _state_schema() -> StructType:
+    return StructType(
+        [StructField("sketch", BinaryType(), True), StructField("n_rows", LongType(), True)]
+    )
+
+
+def sketch_stream(
+    stream_df: DataFrame, keys: list[str], col: str, spec=None
+) -> DataFrame:
+    """Continuously-updated per-key sketches over a stream.
+
+    Output rows (update semantics): (keys..., estimate double, n_rows
+    long, sketch binary) — re-emitted for a key whenever new rows arrive.
+    """
+    spec = spec if spec is not None else HllSpec()
+    accumulator_for(spec)
+    keys = list(keys)
+    out_fields = [stream_df.schema[k] for k in keys] + [
+        StructField("estimate", DoubleType(), False),
+        StructField("n_rows", LongType(), False),
+        StructField("sketch", BinaryType(), False),
+    ]
+    out_schema = StructType(out_fields)
+    acc_kind = spec.kind
+    fspec = spec
+    fcol = col
+
+    def update(key, pdfs, state: GroupState):
+        from ..core.accumulator import _ACCUMULATORS
+
+        acc = _ACCUMULATORS[acc_kind]
+        if state.exists:
+            buf, n = state.get
+            _, st, sp = deserialize_any(bytes(buf))
+        else:
+            st, sp, n = acc.zero(fspec), fspec, 0
+        for pdf in pdfs:
+            vals = pdf[fcol].dropna()
+            if len(vals):
+                st = acc.update(st, vals, sp)
+                n += len(vals)
+        buf = acc.serialize(st, sp)
+        state.update((buf, n))
+        row = {k: [key[i]] for i, k in enumerate(keys)}
+        row["estimate"] = [float(acc.estimate(st, sp))]
+        row["n_rows"] = [n]
+        row["sketch"] = [buf]
+        yield pd.DataFrame(row)
+
+    return (
+        stream_df.select(*keys, col)
+        .groupBy(*keys)
+        .applyInPandasWithState(
+            update,
+            outputStructType=out_schema,
+            stateStructType=_state_schema(),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def windowed_sketch_stream(
+    stream_df: DataFrame,
+    ts_col: str,
+    keys: list[str],
+    col: str,
+    spec=None,
+    window: str = "1 day",
+    watermark: str = "1 day",
+) -> DataFrame:
+    """Event-time tumbling-window sketches with late-data handling.
+
+    Adds the window start as an extra key through the same stateful
+    operator; Spark's watermark evicts closed windows' state.
+    """
+    spec = spec if spec is not None else HllSpec()
+    wm = stream_df.withWatermark(ts_col, watermark)
+    windowed = wm.withColumn("__win", F.window(F.col(ts_col), window).getField("start"))
+    return sketch_stream(windowed, ["__win"] + list(keys), col, spec).withColumnRenamed(
+        "__win", "window_start"
+    )
