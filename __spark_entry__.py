@@ -161,6 +161,157 @@ def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_salted_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit skew handling: two-stage salted exact distinct."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.skew import salted_exact_distinct
+
+    ev = _load(spark, sf_dir, "events")
+    return salted_exact_distinct(ev, ["event_type"], "user_id", salt_buckets=16).orderBy("event_type")
+
+
+def _q_cms_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS per-group total count — exact by construction (row-0 sum)."""
+    _ensure_shipped(spark)
+    from hlld_spark.core.cms import CmsSpec
+    from hlld_spark.operators.sketch import build_sketches, sketch_estimate
+
+    ev = _load(spark, sf_dir, "events")
+    sk = build_sketches(ev, ["event_type"], "user_id", CmsSpec(width=1024, depth=4))
+    return (
+        sk.select("event_type", sketch_estimate(F.col("sketch")).cast("long").alias("cms_total"))
+        .orderBy("event_type")
+    )
+
+
+def _q_cms_undercount_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CMS point estimates must never undercount: violations (empty)."""
+    _ensure_shipped(spark)
+    import pandas as pd
+
+    from hlld_spark.core.accumulator import deserialize_any
+    from hlld_spark.core.cms import CmsSpec
+    from hlld_spark.operators.sketch import build_sketches
+
+    ev = _load(spark, sf_dir, "events")
+    sk = build_sketches(ev, [], "event_type", CmsSpec(width=2048, depth=5)).collect()
+    acc, state, spec = deserialize_any(bytes(sk[0]["sketch"]))
+    exact = ev.groupBy("event_type").count().collect()
+    types = [r["event_type"] for r in exact]
+    est = acc.point_estimate(state, types, spec)
+    bad = [t for t, e, x in zip(types, est, (r["count"] for r in exact)) if int(e) < x]
+    return spark.createDataFrame([(t,) for t in bad], "event_type string")
+
+
+def _q_bloom_membership_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filters have no false negatives: inserted user_ids that fail
+    the membership probe (must be empty)."""
+    _ensure_shipped(spark)
+    from hlld_spark.core.accumulator import deserialize_any
+    from hlld_spark.core.bloom import BloomSpec
+    from hlld_spark.operators.sketch import build_sketches
+
+    ev = _load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
+    sk = build_sketches(ev, [], "uid", BloomSpec.for_capacity(20000, 0.01)).collect()
+    acc, state, spec = deserialize_any(bytes(sk[0]["sketch"]))
+    ids = [r["uid"] for r in ev.select("uid").distinct().collect()]
+    ok = acc.contains(state, ids, spec)
+    missing = [i for i, o in zip(ids, ok) if not o]
+    return spark.createDataFrame([(m,) for m in missing], "uid string")
+
+
+def _q_quantile_bound_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-digest and KLL medians of events.value within 1% rank error of
+    exact — violations (empty)."""
+    _ensure_shipped(spark)
+    from hlld_spark.core.accumulator import deserialize_any
+    from hlld_spark.core.kll import KllSpec
+    from hlld_spark.core.tdigest import TDigestSpec
+    from hlld_spark.operators.sketch import build_sketches
+
+    ev = _load(spark, sf_dir, "events")
+    bad = []
+    for name, spec in (("tdigest", TDigestSpec(compression=200)), ("kll", KllSpec(k=256))):
+        sk = build_sketches(ev, [], "value", spec).collect()
+        acc, state, sp = deserialize_any(bytes(sk[0]["sketch"]))
+        for q in (0.1, 0.5, 0.9):
+            est = acc.quantile(state, q, sp)
+            # rank of the estimate must be within 1% of q
+            rank_row = ev.select(
+                (F.sum((F.col("value") <= est).cast("long")) / F.count("*")).alias("r")
+            ).first()
+            if abs(rank_row["r"] - q) > 0.01:
+                bad.append((name, float(q)))
+    return spark.createDataFrame(bad, "sketch string, q double")
+
+
+def _q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup operator output: surviving doc_ids (min per content group)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.dedup import dedup_exact
+
+    d = _load(spark, sf_dir, "documents")
+    return dedup_exact(d, "doc_id", ["text"]).select("doc_id", "lang").orderBy("doc_id")
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup labels (rows-only: hash family not SQL-expressible)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.dedup import minhash_lsh_dedup
+
+    d = _load(spark, sf_dir, "documents")
+    return minhash_lsh_dedup(d, "doc_id", "text", num_perm=64, bands=16).orderBy("id")
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 around vec_id=0's embedding; ids only
+    (cosine float formatting differs engine-to-engine)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.similarity import cosine_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+    top = cosine_topk(emb, "vec_id", "embedding", q, k=10)
+    return top.select("vec_id").orderBy("vec_id")
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ensure_shipped(spark)
+    from hlld_spark.operators.text import with_token_counts
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        with_token_counts(d, "text")
+        .select(
+            "doc_id",
+            "whitespace_tokens",
+            F.length("text").alias("n_chars_text"),
+            (F.length("text") - F.length(F.regexp_replace(F.col("text"), r"[^\w\s]", ""))).alias("punct_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID over documents (rows-only; profile-based)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.text import with_lang_id
+
+    d = _load(spark, sf_dir, "documents")
+    return with_lang_id(d, "text").select("doc_id", "lang", "lang_id").orderBy("doc_id")
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: deterministic asset table → metadata parse +
+    image features (rows-only; binary fixtures not SQL-expressible)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.multimodal import extract_image_features, generate_assets, parse_metadata
+
+    assets = generate_assets(spark, 200)
+    feat = extract_image_features(parse_metadata(assets))
+    return feat.select("asset_id", "kind", F.col("meta.payload_bytes").alias("payload_bytes")).orderBy("asset_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
@@ -173,6 +324,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": _q_exact_dedup_documents,
         "token_counts": _q_token_counts,
         "events_daily": _q_events_daily,
+        "salted_exact_distinct": _q_salted_exact_distinct,
+        "cms_totals": _q_cms_totals,
+        "cms_undercount_violations": _q_cms_undercount_violations,
+        "bloom_membership_violations": _q_bloom_membership_violations,
+        "quantile_bound_violations": _q_quantile_bound_violations,
+        "dedup_exact_keepers": _q_dedup_exact_keepers,
+        "minhash_dedup": _q_minhash_dedup,
+        "cosine_topk": _q_cosine_topk,
+        "text_stats": _q_text_stats,
+        "lang_id": _q_lang_id,
+        "multimodal_features": _q_multimodal_features,
     }
 
 
@@ -235,4 +397,46 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY CAST(ts AS DATE), event_type
             ORDER BY day, event_type
         """,
+        "salted_exact_distinct": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "cms_totals": """
+            SELECT event_type, COUNT(user_id) AS cms_total
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "cms_undercount_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS event_type WHERE 1 = 0
+        """,
+        "bloom_membership_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS uid WHERE 1 = 0
+        """,
+        "quantile_bound_violations": """
+            SELECT CAST(NULL AS VARCHAR) AS sketch, CAST(NULL AS DOUBLE) AS q WHERE 1 = 0
+        """,
+        "dedup_exact_keepers": """
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+            ORDER BY doc_id
+        """,
+        # minhash_dedup: hash family not SQL-expressible → rows-only
+        "cosine_topk": """
+            SELECT vec_id FROM (
+                SELECT e.vec_id,
+                       list_cosine_similarity(e.embedding, q.embedding) AS cos
+                FROM embeddings e,
+                     (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+                ORDER BY cos DESC, e.vec_id LIMIT 10
+            ) ORDER BY vec_id
+        """,
+        "text_stats": """
+            SELECT doc_id,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LENGTH(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\\s+')) END AS whitespace_tokens,
+                   LENGTH(text) AS n_chars_text,
+                   LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS punct_chars
+            FROM documents ORDER BY doc_id
+        """,
+        # lang_id: heuristic profiles not SQL-expressible → rows-only
+        # multimodal_features: binary fixture format → rows-only
     }

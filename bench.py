@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "2000000"))
+WEB_ROWS = int(os.environ.get("BENCH_WEB_ROWS", "4000000"))
 
 
 def main():
@@ -46,16 +46,27 @@ def main():
     # materialize the web corpus once (generation excluded from timings)
     web_dir = os.path.join(tempfile.gettempdir(), f"hlld_bench_web_{WEB_ROWS}")
     if not os.path.exists(os.path.join(web_dir, "_SUCCESS")):
-        generate_web_pages(spark, WEB_ROWS, partitions=4 * CPUS).write.mode("overwrite").parquet(web_dir)
+        generate_web_pages(spark, WEB_ROWS, partitions=2 * CPUS).write.mode("overwrite").parquet(web_dir)
     web = spark.read.parquet(web_dir)
 
     # warm-up: spin up Python workers + page cache so timings are steady-state
+    from hlld_spark.operators.sketch import build_sketches_parquet as _bsp
+
     build_sketches(web.limit(50000), ["lang"], "url", HllSpec(12)).collect()
+    _bsp(spark, web_dir, [], "lang", HllSpec(10)).collect()
     web.count()
 
-    # q1: flagship — per-lang distinct urls (skewed keys), p12
+    # q0: flagship — worker-side parquet scan sketch build (the scale path)
+    from hlld_spark.operators.sketch import build_sketches_parquet
+
+    timed(
+        "q0_hll_parquet_direct",
+        lambda: build_sketches_parquet(spark, web_dir, ["lang"], "url", HllSpec(12)).collect(),
+    )
+    extras["docs_per_sec"] = round(WEB_ROWS / timings["q0_hll_parquet_direct"], 1)
+
+    # q1: same query through the generic DataFrame path
     timed("q1_hll_urls_by_lang", lambda: distinct_count(web, ["lang"], "url", HllSpec(12)).collect())
-    extras["docs_per_sec"] = round(WEB_ROWS / timings["q1_hll_urls_by_lang"], 1)
 
     # q2: per-(lang, day) sketches — 140 groups, finest grain
     timed(
@@ -85,6 +96,19 @@ def main():
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum("l_quantity"), F.sum("l_extendedprice"), F.count("*"))
         .collect(),
+    )
+
+    # q6: exact dedup over the web corpus (content-hash groupBy)
+    from hlld_spark.operators.dedup import dedup_exact
+
+    timed("q6_dedup_exact_urls", lambda: dedup_exact(web, "url", ["text"]).count())
+
+    # q7: quantile sketch over lineitem prices (t-digest)
+    from hlld_spark.core.tdigest import TDigestSpec
+
+    timed(
+        "q7_tdigest_prices",
+        lambda: with_estimate(build_sketches(li, ["l_returnflag"], "l_extendedprice", TDigestSpec())).collect(),
     )
 
     spark.stop()
