@@ -382,6 +382,33 @@ def merge_sketches(sketch_df: DataFrame, keys: list[str] | None) -> DataFrame:
     return base.groupBy(*keys).applyInPandas(_make_merge_partials(keys), schema=schema)
 
 
+def rollup_sketches(df: DataFrame, keys: list[str], col: str, spec=None) -> DataFrame:
+    """SQL ROLLUP over sketches without rescanning rows: build once at
+    the finest grain, then re-merge upward (sketches are re-aggregable).
+    Output: keys (null = aggregated-out, like ROLLUP) + sketch + n_rows +
+    grouping_level (0 = finest … len(keys) = grand total).
+
+    At 100 TB this is the difference between one scan and len(keys)+1
+    scans — coarser grains merge a few KB of registers per group.
+    """
+    spec = spec if spec is not None else HllSpec()
+    finest = build_sketches(df, keys, col, spec)
+    out = finest.withColumn("grouping_level", F.lit(0))
+    level = finest
+    for i in range(len(keys), 0, -1):
+        coarser_keys = keys[: i - 1]
+        level = merge_sketches(level, coarser_keys)
+        withnulls = level
+        for k in keys[i - 1 :]:
+            withnulls = withnulls.withColumn(k, F.lit(None).cast(df.schema[k].dataType))
+        out = out.unionByName(
+            withnulls.select(*keys, _SKETCH_FIELD, _NROWS_FIELD).withColumn(
+                "grouping_level", F.lit(len(keys) - i + 1)
+            )
+        )
+    return out
+
+
 @F.pandas_udf(DoubleType())
 def sketch_estimate(bufs: pd.Series) -> pd.Series:
     """Primary estimate per serialized sketch (HLL → cardinality,
