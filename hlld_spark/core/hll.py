@@ -95,17 +95,37 @@ def new_registers(precision: int) -> np.ndarray:
     return np.zeros(1 << precision, dtype=np.uint8)
 
 
+_P1 = _U64(0x5555555555555555)
+_P2 = _U64(0x3333333333333333)
+_P4 = _U64(0x0F0F0F0F0F0F0F0F)
+_PM = _U64(0x0101010101010101)
+
+
 def _clz64(w: np.ndarray) -> np.ndarray:
-    """Exact vectorized count-leading-zeros for nonzero uint64 (no float
-    round-trip — float64 can't represent all uint64 exactly)."""
-    n = np.zeros(w.shape, dtype=np.uint8)
+    """Exact vectorized count-leading-zeros for uint64 (no float
+    round-trip — float64 can't represent all uint64 exactly).
+
+    Bit-smear (w becomes 2^(64−clz) − 1) then SWAR popcount; all
+    in-place vector ops, no boolean scatter."""
     w = w.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        s = _U64(shift)
-        top_clear = (w >> (_U64(64) - s)) == 0
-        n[top_clear] += np.uint8(shift)
-        w = np.where(top_clear, w << s, w)
-    return n
+    t = np.empty_like(w)
+    for s in (1, 2, 4, 8, 16, 32):
+        np.right_shift(w, _U64(s), out=t)
+        np.bitwise_or(w, t, out=w)
+    # SWAR popcount of the smeared value
+    np.right_shift(w, _U64(1), out=t)
+    np.bitwise_and(t, _P1, out=t)
+    np.subtract(w, t, out=w)
+    np.right_shift(w, _U64(2), out=t)
+    np.bitwise_and(t, _P2, out=t)
+    np.bitwise_and(w, _P2, out=w)
+    np.add(w, t, out=w)
+    np.right_shift(w, _U64(4), out=t)
+    np.add(w, t, out=w)
+    np.bitwise_and(w, _P4, out=w)
+    np.multiply(w, _PM, out=w)
+    np.right_shift(w, _U64(56), out=w)
+    return (_U64(64) - w).astype(np.uint8)
 
 
 def rho_values(hashes: np.ndarray, precision: int) -> tuple[np.ndarray, np.ndarray]:

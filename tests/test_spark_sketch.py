@@ -140,3 +140,16 @@ def test_webpages_lang_skew(spark, wp):
     counts = {r["lang"]: r["count"] for r in wp.groupBy("lang").count().collect()}
     assert max(counts, key=counts.get) == "en"
     assert counts["en"] / sum(counts.values()) > 0.4
+
+
+def test_sanity_vs_spark_native_hllpp(spark, docs):
+    """Our HLL and Spark's approx_count_distinct (HLL++ — same family,
+    different constants) must agree within their combined error bounds."""
+    ours = {r["lang"]: r["estimate"] for r in distinct_count(docs, ["lang"], "doc_id", HllSpec(14)).collect()}
+    theirs = {
+        r["lang"]: r["a"]
+        for r in docs.groupBy("lang").agg(F.approx_count_distinct("doc_id", 0.01).alias("a")).collect()
+    }
+    for lang in ours:
+        bound = 3 * (hll.error_for_precision(14) + 0.01)
+        assert abs(ours[lang] - theirs[lang]) / theirs[lang] <= bound
