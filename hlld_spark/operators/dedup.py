@@ -64,28 +64,75 @@ def dedup_exact(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFram
 # ---------------------------------------------------------------------------
 
 
+_POLY_B = _U64(0x100000001B3)  # FNV-64 prime as the rolling base
+_SMX_G = _U64(0x9E3779B97F4A7C15)
+_SMX_1 = _U64(0xBF58476D1CE4E5B9)
+_SMX_2 = _U64(0x94D049BB133111EB)
+
+
+def _splitmix(z: np.ndarray) -> np.ndarray:
+    z = z + _SMX_G
+    z = (z ^ (z >> _U64(30))) * _SMX_1
+    z = (z ^ (z >> _U64(27))) * _SMX_2
+    return z ^ (z >> _U64(31))
+
+
 def _char_shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarray]:
     """All k-char shingle hashes for a batch, concatenated, plus per-doc
-    offsets. One murmur pass over a single buffer: shingles are expressed
-    as strided windows of the concatenated utf-8 bytes (per doc)."""
+    offsets — fully vectorized: one polynomial pass over the batch's
+    concatenated utf-8 buffer (k strided multiply-adds), boundary
+    positions masked out, splitmix64 finalization for mixing. No
+    per-shingle Python objects."""
     enc = [(t or "").encode("utf-8") for t in texts]
-    hashes_parts = []
-    counts = np.zeros(len(enc), dtype=np.int64)
-    # batch small docs together by building explicit shingle lists;
-    # windows are materialized as a 2D byte matrix per doc group
-    shingle_bytes = []
-    for i, b in enumerate(enc):
-        n = max(len(b) - k + 1, 0)
-        counts[i] = n if n > 0 else 1
-        if n <= 0:
-            shingle_bytes.append(b)  # whole (short) doc as its only shingle
-        else:
-            v = np.frombuffer(b, dtype=np.uint8)
-            win = np.lib.stride_tricks.sliding_window_view(v, k)
-            shingle_bytes.extend(win.tobytes()[j * k : (j + 1) * k] for j in range(n))
-    h = hll_hash(shingle_bytes)
-    offsets = np.concatenate(([0], np.cumsum(counts)))
-    return h, offsets
+    lens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=len(enc))
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).astype(np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    total = int(offsets[-1])
+    n_pos = max(total - k + 1, 0)
+    # poly hash at every buffer position (including invalid cross-doc ones)
+    h = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(k):
+        np.multiply(h, _POLY_B, out=h)
+        np.add(h, buf[j : n_pos + j], out=h)
+    # mask positions whose k-gram crosses a doc boundary
+    valid = np.ones(n_pos, dtype=bool)
+    for d in range(1, len(enc) + 1):
+        end = int(offsets[d])
+        lo = max(end - k + 1, 0)
+        if lo < min(end, n_pos):
+            valid[lo : min(end, n_pos)] = False
+    # re-validate each doc's own range start (the loop above also cleared
+    # the final doc's tail, which is correct)
+    counts = np.maximum(lens - k + 1, 0)
+    hc = _splitmix(h[valid]) if n_pos else np.zeros(0, dtype=np.uint64)
+    # docs shorter than k get one whole-doc shingle (poly hash of all bytes)
+    shorts = np.flatnonzero(lens < k)
+    if len(shorts):
+        short_hashes = np.empty(len(shorts), dtype=np.uint64)
+        for i, d in enumerate(shorts):
+            b = buf[offsets[d] : offsets[d + 1]]
+            hh = _U64(0)
+            for v in b:
+                hh = hh * _POLY_B + v
+            short_hashes[i] = hh
+        short_hashes = _splitmix(short_hashes)
+        # splice the single-shingle docs into the compacted stream
+        counts2 = counts.copy()
+        counts2[shorts] = 1
+        out = np.empty(int(counts2.sum()), dtype=np.uint64)
+        out_off = np.concatenate(([0], np.cumsum(counts2)))
+        src = 0
+        for d in range(len(enc)):
+            o = int(out_off[d])
+            c = int(counts2[d])
+            if lens[d] < k:
+                out[o] = short_hashes[np.searchsorted(shorts, d)]
+            else:
+                out[o : o + c] = hc[src : src + c]
+                src += c
+        return out, out_off
+    offsets_out = np.concatenate(([0], np.cumsum(counts)))
+    return hc, offsets_out
 
 
 def _minhash_signatures(texts: pd.Series, num_perm: int, k: int, seed: int = 1) -> np.ndarray:

@@ -1,0 +1,124 @@
+"""End-to-end interop with the reference engine: sketches built by OUR
+distributed Spark pipeline, flushed through the registry to the
+reference's on-disk layout, are read back by the REFERENCE's own
+compiled hll code (tests/golden/readmmap_src) and produce the identical
+estimate. This is the strongest parity statement available: a user of
+the reference could point its storage at our flush output.
+
+The C harness links the reference sources read-only from
+/root/reference; the test skips when no compiler is available.
+"""
+
+import os
+import shutil
+import subprocess
+import tempfile
+
+import pytest
+
+from hlld_spark.core import hll
+from hlld_spark.core.hashing import hll_hash
+from hlld_spark.registry import SketchRegistry
+
+_READMMAP_C = r"""
+#include <stdio.h>
+#include <stdlib.h>
+#include <stdint.h>
+#include "hll.h"
+int bitmap_close(hlld_bitmap *map) { (void)map; return 0; }
+int main(int argc, char **argv) {
+    if (argc != 3) return 2;
+    int precision = atoi(argv[2]);
+    FILE *f = fopen(argv[1], "rb");
+    if (!f) return 1;
+    uint64_t expect = hll_bytes_for_precision(precision);
+    uint32_t *buf = malloc(expect);
+    if (fread(buf, 1, expect, f) != expect) return 1;
+    fclose(f);
+    hll_t h; h.precision = (unsigned char)precision; h.registers = buf; h.bm = NULL;
+    printf("%.10f\n", hll_size(&h));
+    return 0;
+}
+"""
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="module")
+def readmmap():
+    if shutil.which("gcc") is None or shutil.which("g++") is None:
+        pytest.skip("no C compiler for reference interop harness")
+    d = tempfile.mkdtemp(prefix="refinterop")
+    src = os.path.join(d, "readmmap.c")
+    with open(src, "w") as f:
+        f.write(_READMMAP_C)
+    exe = os.path.join(d, "readmmap")
+    try:
+        subprocess.run(
+            ["gcc", "-O2", "-std=c99", "-c", src, f"{REF}/src/hll.c", f"{REF}/src/hll_constants.c", f"-I{REF}/src"],
+            cwd=d, check=True, capture_output=True,
+        )
+        subprocess.run(
+            ["g++", "-O2", "-c", f"{REF}/deps/murmurhash/MurmurHash3.cpp", "-o", "murmur.o"],
+            cwd=d, check=True, capture_output=True,
+        )
+        subprocess.run(
+            ["g++", "-O2", "readmmap.o", "hll.o", "hll_constants.o", "murmur.o", "-o", exe, "-lm"],
+            cwd=d, check=True, capture_output=True,
+        )
+    except subprocess.CalledProcessError as e:
+        pytest.skip(f"reference build failed: {e.stderr[:200]}")
+    return exe
+
+
+def _ref_estimate(exe: str, mmap_path: str, precision: int) -> float:
+    out = subprocess.run([exe, mmap_path, str(precision)], capture_output=True, text=True, check=True)
+    return float(out.stdout.strip())
+
+
+def test_registry_flush_readable_by_reference(readmmap, tmp_path):
+    reg = SketchRegistry(str(tmp_path / "data"))
+    reg.create("interop", precision=12)
+    reg.bulk("interop", [f"test{i}" for i in range(10000)])
+    ours = reg.info("interop")["size"]
+    reg.flush("interop")
+    mmap = os.path.join(str(tmp_path / "data"), "hlld.interop", "data.mmap")
+    theirs = _ref_estimate(readmmap, mmap, 12)
+    assert theirs == pytest.approx(ours, rel=1e-8)
+    assert 9800 < theirs < 10200  # the reference's own accuracy window
+
+
+@pytest.mark.spark
+def test_spark_built_sketch_readable_by_reference(readmmap, spark, sf_dir, tmp_path):
+    """Distributed Spark build → registry merge → flush → reference reads
+    the bytes and agrees on the estimate."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    reg = SketchRegistry(str(tmp_path / "data"))
+    reg.create("docs", precision=14)
+    reg.add_dataframe("docs", docs, "doc_id")
+    ours = reg.info("docs")["size"]
+    reg.flush("docs")
+    mmap = os.path.join(str(tmp_path / "data"), "hlld.docs", "data.mmap")
+    theirs = _ref_estimate(readmmap, mmap, 14)
+    assert theirs == pytest.approx(ours, rel=1e-8)
+    exact = docs.select("doc_id").distinct().count()
+    assert abs(theirs - exact) / exact <= 3 * hll.error_for_precision(14)
+
+
+def test_bitexact_registers_both_directions(readmmap, tmp_path):
+    """Round-trip: our packed bytes → reference estimate → matches our
+    estimate; and a reference-layout file we synthesize loads back."""
+    regs = hll.new_registers(10)
+    hll.add_hashes(regs, hll_hash([f"foobar{i}" for i in range(777)]), 10)
+    p = str(tmp_path / "regs.mmap")
+    with open(p, "wb") as f:
+        f.write(hll.to_hlld_bytes(regs))
+    theirs = _ref_estimate(readmmap, p, 10)
+    assert theirs == pytest.approx(hll.cardinality(regs, 10), rel=1e-8)
+    # load back
+    back = hll.from_hlld_bytes(open(p, "rb").read(), 10)
+    import numpy as np
+
+    assert np.array_equal(back, regs)
