@@ -161,6 +161,34 @@ def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-table join: orders ⋈ customer (broadcast) ⋈ nation (broadcast)."""
+    o = _load(spark, sf_dir, "orders")
+    c = _load(spark, sf_dir, "customer")
+    n = _load(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"), F.count("*").alias("n_orders"))
+        .orderBy("n_name")
+    )
+
+
+def _q_top_order_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window function: each customer's single highest-value order."""
+    from pyspark.sql import Window
+
+    o = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("top_price"))
+        .orderBy("o_custkey")
+    )
+
+
 def _q_salted_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit skew handling: two-stage salted exact distinct."""
     _ensure_shipped(spark)
@@ -324,6 +352,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup_documents": _q_exact_dedup_documents,
         "token_counts": _q_token_counts,
         "events_daily": _q_events_daily,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top_order_per_customer": _q_top_order_per_customer,
         "salted_exact_distinct": _q_salted_exact_distinct,
         "cms_totals": _q_cms_totals,
         "cms_undercount_violations": _q_cms_undercount_violations,
@@ -396,6 +426,24 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(value), 4) AS total_value
             FROM events GROUP BY CAST(ts AS DATE), event_type
             ORDER BY day, event_type
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   ROUND(SUM(o_totalprice), 2) AS revenue,
+                   COUNT(*) AS n_orders
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "top_order_per_customer": """
+            SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS top_price
+            FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                          ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+                FROM orders
+            ) WHERE rn = 1 ORDER BY o_custkey
         """,
         "salted_exact_distinct": """
             SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct

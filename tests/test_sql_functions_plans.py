@@ -1,0 +1,87 @@
+"""SQL-registered sketch functions + plan-inspection assertions (the
+PLANS.md claims, executable)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hlld_spark.core.accumulator import HllSpec
+from hlld_spark.functions.sketch_sql import register_sql_functions
+from hlld_spark.operators.sketch import build_sketches
+from hlld_spark.plans.explain_tools import read_columns, scan_info
+
+pytestmark = pytest.mark.spark
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register_sql_functions(spark)
+
+
+def test_sql_cardinality_and_kind(spark, docs):
+    build_sketches(docs, ["lang"], "doc_id", HllSpec(14)).createOrReplaceTempView("sk")
+    rows = spark.sql(
+        "SELECT lang, hll_cardinality(sketch) AS est, sketch_kind(sketch) AS kind, "
+        "sketch_bytes(sketch) AS sz FROM sk ORDER BY lang"
+    ).collect()
+    exact = {r["lang"]: r["d"] for r in docs.groupBy("lang").agg(F.countDistinct("doc_id").alias("d")).collect()}
+    for r in rows:
+        assert r["kind"] == "hll"
+        assert r["sz"] == 6 + 13108  # header + p14 packed bytes
+        assert abs(r["est"] - exact[r["lang"]]) / exact[r["lang"]] < 0.05
+
+
+def test_sql_merge(spark, docs):
+    build_sketches(docs, ["lang"], "doc_id", HllSpec(12)).createOrReplaceTempView("sk2")
+    # pairwise-merge all langs via aggregation of sketch_merge over a self-join
+    row = spark.sql(
+        """
+        SELECT hll_cardinality(sketch_merge(a.sketch, b.sketch)) AS est
+        FROM sk2 a JOIN sk2 b ON a.lang = 'en' AND b.lang = 'de'
+        """
+    ).first()
+    exact = docs.filter(F.col("lang").isin("en", "de")).select("doc_id").distinct().count()
+    assert abs(row["est"] - exact) / exact < 0.05
+
+
+def test_sql_scalar_laws(spark):
+    r = spark.sql(
+        "SELECT hll_error_for_precision(12) AS e, hll_precision_for_error(0.01) AS p, "
+        "hll_bytes_for_precision(10) AS b"
+    ).first()
+    assert r["e"] == pytest.approx(0.01625)
+    assert r["p"] == 14
+    assert r["b"] == 820
+
+
+def test_plan_column_pruning(spark, sf_dir):
+    # uncached scan: pruning must reach the parquet reader (a .cache()'d
+    # input — or the cache manager substituting an identical cached plan
+    # — would materialize every column into the cache instead)
+    spark.catalog.clearCache()
+    fresh = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = build_sketches(fresh, ["lang"], "doc_id", HllSpec(12))
+    cols = read_columns(sk)
+    assert set(cols) == {"lang", "doc_id"}  # text/source/n_chars not read
+    assert scan_info(sk)["has_python_map_in_arrow"]
+
+
+def test_plan_filter_pushdown(spark, sf_dir):
+    spark.catalog.clearCache()
+    fresh = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = build_sketches(fresh.filter(F.col("lang") == "en"), [], "doc_id", HllSpec(12))
+    info = scan_info(sk)
+    assert info["pushed_filters"] and "EqualTo(lang,en)" in info["pushed_filters"]
+
+
+def test_plan_shuffle_carries_sketches_only(spark, docs):
+    """The only exchange in the build plan is the tiny partial-sketch
+    shuffle (plus AQE reads) — no row-level exchange exists."""
+    sk = build_sketches(docs, ["lang"], "doc_id", HllSpec(12))
+    plan = sk._jdf.queryExecution().executedPlan().toString()
+    # the exchange must sit ABOVE the PythonMapInArrow partial build
+    assert plan.index("Exchange") < plan.index("MapInArrow") or "AdaptiveSparkPlan" in plan
