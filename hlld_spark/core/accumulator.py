@@ -83,15 +83,18 @@ class HllAccumulator:
     def update_hashes(self, state: np.ndarray, hashes: np.ndarray, spec: HllSpec) -> np.ndarray:
         return _hll.add_hashes(state, hashes, spec.precision)
 
-    # batch fast path used by the Spark partial-build stage: hash the whole
-    # Arrow batch column once, then scatter per-group slices
-    def prepare_batch(self, values) -> np.ndarray:
-        return hll_hash(values)
+    # batch fast path used by the Spark partial-build stage: hash + pack
+    # the whole Arrow batch column once, then scatter per-group slices
+    def prepare_batch(self, values, spec: HllSpec) -> np.ndarray:
+        return _hll.combined_from_hashes(hll_hash(values), spec.precision)
 
     def update_prepared(
-        self, state: np.ndarray, hashes: np.ndarray, idx: np.ndarray, spec: HllSpec
+        self, state: np.ndarray, prepared: np.ndarray, idx: np.ndarray, spec: HllSpec
     ) -> np.ndarray:
-        return _hll.add_hashes(state, hashes[idx], spec.precision)
+        return _hll.add_combined(state, prepared[idx])
+
+    def new_builder(self, spec: HllSpec) -> "HllBuilder":
+        return HllBuilder(spec)
 
     def merge(self, a: np.ndarray, b: np.ndarray, spec: HllSpec) -> np.ndarray:
         if len(a) != len(b):
@@ -107,6 +110,75 @@ class HllAccumulator:
 
     def estimate(self, state: np.ndarray, spec: HllSpec) -> float:
         return _hll.cardinality(state, spec.precision)
+
+
+class HllBuilder:
+    """Sparse-until-dense partial state for one group.
+
+    A dense HLL partial costs 2^p bytes the moment a group appears; with
+    10^5 grouping keys per partition that is gigabytes. The builder
+    accumulates packed (idx, rho) candidates and densifies only once the
+    candidate count reaches m = 2^p (past which dense is smaller) — the
+    "optional sparse build" deviation flagged in SURVEY.md §4; final
+    sketches remain byte-identical to the always-dense path because
+    register max is order-insensitive.
+    """
+
+    __slots__ = ("spec", "parts", "total", "dense")
+
+    def __init__(self, spec: HllSpec):
+        self.spec = spec
+        self.parts: list[np.ndarray] = []
+        self.total = 0
+        self.dense: np.ndarray | None = None
+
+    def add_prepared(self, prepared: np.ndarray, idx: np.ndarray) -> None:
+        chunk = prepared[idx]  # fancy index = fresh array, safe to sort later
+        if self.dense is not None:
+            _hll.add_combined(self.dense, chunk)
+            return
+        self.parts.append(chunk)
+        self.total += len(chunk)
+        if self.total >= (1 << self.spec.precision):
+            self._densify()
+
+    def _densify(self) -> None:
+        self.dense = _hll.new_registers(self.spec.precision)
+        if self.parts:
+            _hll.add_combined(self.dense, np.concatenate(self.parts))
+        self.parts = []
+        self.total = 0
+
+    def finish(self) -> np.ndarray:
+        if self.dense is None:
+            self._densify()
+        return self.dense
+
+
+class GenericBuilder:
+    """Fallback builder: dense state from the first row (CMS/Bloom/
+    t-digest/KLL states are either fixed-size by spec or grow with data
+    anyway)."""
+
+    __slots__ = ("acc", "spec", "state")
+
+    def __init__(self, acc, spec):
+        self.acc = acc
+        self.spec = spec
+        self.state = acc.zero(spec)
+
+    def add_prepared(self, prepared, idx) -> None:
+        self.state = self.acc.update_prepared(self.state, prepared, idx, self.spec)
+
+    def finish(self):
+        return self.state
+
+
+def new_builder(acc, spec):
+    if hasattr(acc, "new_builder"):
+        return acc.new_builder(spec)
+    return GenericBuilder(acc, spec)
+
 
 
 _ACCUMULATORS: dict[str, object] = {}

@@ -59,7 +59,7 @@ class BloomAccumulator:
     def zero(self, spec: BloomSpec) -> np.ndarray:
         return np.zeros(spec.bits, dtype=np.uint8)  # byte-per-bit in memory
 
-    def prepare_batch(self, values):
+    def prepare_batch(self, values, spec=None):
         return murmur3_x64_128(values)
 
     def update_prepared(self, state, prepared, idx, spec: BloomSpec):

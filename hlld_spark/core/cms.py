@@ -60,7 +60,7 @@ class CmsAccumulator:
     def zero(self, spec: CmsSpec) -> np.ndarray:
         return np.zeros((spec.depth, spec.width), dtype=np.int64)
 
-    def prepare_batch(self, values):
+    def prepare_batch(self, values, spec=None):
         return murmur3_x64_128(values)
 
     def update_prepared(self, state, prepared, idx, spec: CmsSpec):

@@ -141,17 +141,23 @@ def rho_values(hashes: np.ndarray, precision: int) -> tuple[np.ndarray, np.ndarr
     return idx, rho
 
 
-def add_hashes(registers: np.ndarray, hashes: np.ndarray, precision: int) -> np.ndarray:
-    """Scatter-max a batch of 64-bit hashes into the register vector (O3).
+def combined_from_hashes(hashes: np.ndarray, precision: int) -> np.ndarray:
+    """Pack each hash's (register index, rho) into one uint64
+    (idx << 8 | rho) — the unit of both dense scatter and sparse
+    accumulation."""
+    idx, rho = rho_values(hashes, precision)
+    return (idx.astype(_U64) << _U64(8)) | rho.astype(_U64)
+
+
+def add_combined(registers: np.ndarray, combined: np.ndarray) -> np.ndarray:
+    """Scatter-max packed (idx, rho) pairs into the register vector.
 
     One sort + reduce-by-last instead of ``np.maximum.at`` (ufunc.at is
-    an order of magnitude slower on large batches).
+    an order of magnitude slower on large batches). ``combined`` may be
+    modified (sorted) in place.
     """
-    if len(hashes) == 0:
+    if len(combined) == 0:
         return registers
-    idx, rho = rho_values(hashes, precision)
-    # pack (idx, rho) so a single sort yields per-idx max at group ends
-    combined = (idx.astype(_U64) << _U64(8)) | rho.astype(_U64)
     combined.sort()
     idx_s = (combined >> _U64(8)).astype(np.int64)
     last = np.empty(len(idx_s), dtype=bool)
@@ -161,6 +167,13 @@ def add_hashes(registers: np.ndarray, hashes: np.ndarray, precision: int) -> np.
     val = (combined[last] & _U64(0xFF)).astype(np.uint8)
     registers[tgt] = np.maximum(registers[tgt], val)
     return registers
+
+
+def add_hashes(registers: np.ndarray, hashes: np.ndarray, precision: int) -> np.ndarray:
+    """Scatter-max a batch of 64-bit hashes into the register vector (O3)."""
+    if len(hashes) == 0:
+        return registers
+    return add_combined(registers, combined_from_hashes(hashes, precision))
 
 
 def merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:

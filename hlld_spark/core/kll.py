@@ -80,7 +80,7 @@ class KllAccumulator:
     def zero(self, spec: KllSpec) -> _KLL:
         return _KLL([np.zeros(0, dtype=np.float64)])
 
-    def prepare_batch(self, values):
+    def prepare_batch(self, values, spec=None):
         import pyarrow as pa
 
         if isinstance(values, pa.ChunkedArray):

@@ -73,7 +73,7 @@ class TDigestAccumulator:
         e = np.zeros(0, dtype=np.float64)
         return _TD(e.copy(), e.copy())
 
-    def prepare_batch(self, values):
+    def prepare_batch(self, values, spec=None):
         import pyarrow as pa
 
         if isinstance(values, pa.ChunkedArray):

@@ -69,10 +69,10 @@ def _make_build_partials_arrow(keys: list[str], col: str, spec):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from ..core.accumulator import _ACCUMULATORS
+        from ..core.accumulator import _ACCUMULATORS, new_builder
 
         acc = _ACCUMULATORS[acc_kind]
-        states: dict[tuple, object] = {}
+        states: dict[tuple, object] = {}  # gkey -> builder
         counts: dict[tuple, int] = {}
         reps: dict[tuple, tuple] = {}  # gkey -> pa scalars (preserve exact types)
         key_types = None
@@ -87,13 +87,13 @@ def _make_build_partials_arrow(keys: list[str], col: str, spec):
                 if rb.num_rows == 0:
                     continue
                 vcol = rb.column(rb.schema.get_field_index(col))
-            prepared = acc.prepare_batch(vcol)
+            prepared = acc.prepare_batch(vcol, spec)
             if not keys:
-                st = states.get(())
-                if st is None:
-                    st = acc.zero(spec)
+                b = states.get(())
+                if b is None:
+                    b = states[()] = new_builder(acc, spec)
                     counts[()] = 0
-                states[()] = acc.update_prepared(st, prepared, np.arange(rb.num_rows), spec)
+                b.add_prepared(prepared, np.arange(rb.num_rows))
                 counts[()] += rb.num_rows
                 continue
             # combine per-key dictionary codes into one group code
@@ -133,12 +133,12 @@ def _make_build_partials_arrow(keys: list[str], col: str, spec):
                     for i, p in enumerate(parts)
                 )
                 gkey = tuple(s.as_py() for s in scalars)
-                st = states.get(gkey)
-                if st is None:
-                    st = acc.zero(spec)
+                b = states.get(gkey)
+                if b is None:
+                    b = states[gkey] = new_builder(acc, spec)
                     counts[gkey] = 0
                     reps[gkey] = scalars
-                states[gkey] = acc.update_prepared(st, prepared, idx, spec)
+                b.add_prepared(prepared, idx)
                 counts[gkey] += len(idx)
         if not states:
             return
@@ -148,7 +148,7 @@ def _make_build_partials_arrow(keys: list[str], col: str, spec):
             vals = [reps[g][i].as_py() for g in states]
             arrays.append(pa.array(vals, type=key_types[i]))
             names.append(k)
-        arrays.append(pa.array([acc.serialize(s, spec) for s in states.values()], type=pa.binary()))
+        arrays.append(pa.array([acc.serialize(b.finish(), spec) for b in states.values()], type=pa.binary()))
         names.append(_SKETCH_FIELD)
         arrays.append(pa.array([counts[g] for g in states], type=pa.int64()))
         names.append(_NROWS_FIELD)
@@ -175,7 +175,7 @@ def _make_build_partials(keys: list[str], col: str, spec):
             if len(pdf) == 0:
                 continue
             # hash/ingest the whole batch column once, slice per group
-            prepared = acc.prepare_batch(values) if hasattr(acc, "prepare_batch") else None
+            prepared = acc.prepare_batch(values, spec) if hasattr(acc, "prepare_batch") else None
             for gkey, idx in _group_indices(pdf, keys).items():
                 st = states.get(gkey)
                 if st is None:

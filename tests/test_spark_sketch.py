@@ -153,3 +153,27 @@ def test_sanity_vs_spark_native_hllpp(spark, docs):
     for lang in ours:
         bound = 3 * (hll.error_for_precision(14) + 0.01)
         assert abs(ours[lang] - theirs[lang]) / theirs[lang] <= bound
+
+
+def test_many_groups_sparse_builder(spark, wp):
+    """High-cardinality grouping (per-host, ~1000 groups x 16 partitions)
+    exercises the sparse-until-dense builder: results must be
+    byte-identical across partitionings and correct vs exact."""
+    hosted = wp.withColumn("host", F.regexp_extract("url", r"https://([^/]+)/", 1))
+    spec = HllSpec(12)
+    a = {r["host"]: bytes(r["sketch"]) for r in build_sketches(hosted, ["host"], "url", spec).collect()}
+    b = {
+        r["host"]: bytes(r["sketch"])
+        for r in build_sketches(hosted.repartition(5), ["host"], "url", spec).collect()
+    }
+    assert a == b
+    assert len(a) > 500  # actually many groups
+    exact = {
+        r["host"]: r["d"]
+        for r in hosted.groupBy("host").agg(F.countDistinct("url").alias("d")).collect()
+    }
+    import numpy as np
+    for host in list(exact)[:50]:
+        regs, p = hll.deserialize(a[host])
+        est = hll.cardinality(regs, p)
+        assert abs(est - exact[host]) / exact[host] <= max(3 * hll.error_for_precision(12), 0.05)
