@@ -47,16 +47,21 @@ _MERSENNE = (1 << 61) - 1
 
 
 def dedup_exact(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
-    """Keep the min-id row per exact content group. Pure Catalyst:
-    md5 over the concatenated content → groupBy → broadcast-free semi join."""
+    """Keep the min-id row per exact content group. Pure Catalyst, ONE
+    shuffle: md5 over the concatenated content → row_number window
+    partitioned by the hash (a groupBy + semi-join costs a second wide
+    shuffle of the full table). md5's 128 bits keep the birthday bound
+    negligible at 10^12 docs (p ≈ 1.5e-15)."""
+    from pyspark.sql import Window
+
     h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]))
-    keepers = (
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
         df.withColumn("__h", h)
-        .groupBy("__h")
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
     )
-    return df.join(keepers, id_col, "left_semi")
 
 
 # ---------------------------------------------------------------------------
