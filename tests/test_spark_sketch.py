@@ -177,3 +177,33 @@ def test_many_groups_sparse_builder(spark, wp):
         regs, p = hll.deserialize(a[host])
         est = hll.cardinality(regs, p)
         assert abs(est - exact[host]) / exact[host] <= max(3 * hll.error_for_precision(12), 0.05)
+
+
+def test_parquet_direct_build_matches_dataframe_path(spark, wp, tmp_path):
+    """build_sketches_parquet (worker-side scan) is byte-identical to the
+    generic DataFrame path, for grouped and global builds."""
+    from hlld_spark.operators.sketch import build_sketches_parquet
+
+    d = str(tmp_path / "wp")
+    wp.write.parquet(d)
+    spec = HllSpec(12)
+    a = {r["lang"]: bytes(r["sketch"]) for r in build_sketches_parquet(spark, d, ["lang"], "url", spec).collect()}
+    b = {r["lang"]: bytes(r["sketch"]) for r in build_sketches(spark.read.parquet(d), ["lang"], "url", spec).collect()}
+    assert a == b
+    ga = build_sketches_parquet(spark, d, [], "url", spec).collect()[0]
+    gb = build_sketches(spark.read.parquet(d), [], "url", spec).collect()[0]
+    assert bytes(ga["sketch"]) == bytes(gb["sketch"]) and ga["n_rows"] == gb["n_rows"]
+
+
+def test_parquet_direct_filter_pushdown(spark, wp, tmp_path):
+    """pyarrow-side filters prune rows before hashing."""
+    from hlld_spark.operators.sketch import build_sketches_parquet
+
+    d = str(tmp_path / "wpf")
+    wp.write.parquet(d)
+    spec = HllSpec(12)
+    filt = [("lang", "=", "en")]
+    a = build_sketches_parquet(spark, d, [], "url", spec, filter=filt).collect()[0]
+    b = build_sketches(spark.read.parquet(d).filter(F.col("lang") == "en"), [], "url", spec).collect()[0]
+    assert bytes(a["sketch"]) == bytes(b["sketch"])
+    assert a["n_rows"] == b["n_rows"]
