@@ -207,3 +207,13 @@ def test_parquet_direct_filter_pushdown(spark, wp, tmp_path):
     b = build_sketches(spark.read.parquet(d).filter(F.col("lang") == "en"), [], "url", spec).collect()[0]
     assert bytes(a["sketch"]) == bytes(b["sketch"])
     assert a["n_rows"] == b["n_rows"]
+
+
+def test_null_group_keys_preserved(spark):
+    """SQL GROUP BY keeps the null group; so do we (arrow dictionary
+    null-code path)."""
+    df = spark.createDataFrame(
+        [("a", "x"), (None, "y"), (None, "z"), ("a", "y")], ["k", "v"]
+    )
+    rows = {r["k"]: r["n_rows"] for r in build_sketches(df, ["k"], "v", HllSpec(12)).collect()}
+    assert rows == {"a": 2, None: 2}
