@@ -1,0 +1,96 @@
+"""End-to-end tour of hlld-spark. Run: python examples/demo.py
+
+Covers the full user journey on a small deterministic corpus:
+generate → sketch per group → SQL over sketches → rollup → dedup →
+similarity → text analysis → named-set registry + wire protocol →
+checkpointed resumable build.
+"""
+
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from hlld_spark.checkpoint import checkpointed_build, lineage
+from hlld_spark.core.accumulator import HllSpec
+from hlld_spark.core.tdigest import TDigestSpec
+from hlld_spark.functions.sketch_sql import register_sql_functions
+from hlld_spark.operators.dedup import dedup_exact, minhash_lsh_dedup
+from hlld_spark.operators.sketch import (
+    build_sketches,
+    build_sketches_parquet,
+    distinct_count,
+    rollup_sketches,
+    with_estimate,
+)
+from hlld_spark.operators.similarity import cosine_topk
+from hlld_spark.operators.text import with_quality_score, with_token_counts
+from hlld_spark.registry import SketchRegistry
+from hlld_spark.session import get_spark
+from hlld_spark.sources.webpages import generate_web_pages
+
+spark = get_spark(app_name="hlld-spark-demo", cpus=8)
+register_sql_functions(spark)
+work = tempfile.mkdtemp(prefix="hlld_demo")
+
+print("== 1. deterministic web corpus (100k rows, Zipfian lang skew)")
+web_dir = os.path.join(work, "web")
+generate_web_pages(spark, 100_000).write.parquet(web_dir)
+web = spark.read.parquet(web_dir)
+web.select("url", "warc_ts", "lang").show(3, truncate=False)
+
+print("== 2. distinct urls per lang (HLL p=12, shuffle carries only sketches)")
+distinct_count(web, ["lang"], "url", HllSpec(12)).orderBy(F.desc("n_rows")).show(5)
+
+print("== 3. the same, scanning parquet directly in the workers (scale path)")
+with_estimate(build_sketches_parquet(spark, web_dir, ["lang"], "url", HllSpec(12))).orderBy(
+    F.desc("n_rows")
+).show(3)
+
+print("== 4. SQL over sketch tables")
+build_sketches(web, ["lang"], "url", HllSpec(12)).createOrReplaceTempView("sketches")
+spark.sql(
+    "SELECT lang, CAST(hll_cardinality(sketch) AS LONG) AS distinct_urls, "
+    "sketch_bytes(sketch) AS bytes FROM sketches ORDER BY distinct_urls DESC LIMIT 3"
+).show()
+
+print("== 5. rollup: (lang, day) → lang → global from ONE scan")
+roll = with_estimate(
+    rollup_sketches(web.withColumn("day", F.to_date("warc_ts")), ["lang", "day"], "url", HllSpec(12))
+)
+roll.groupBy("grouping_level").count().orderBy("grouping_level").show()
+
+print("== 6. quantile sketch (t-digest) over text lengths")
+with_estimate(
+    build_sketches(web.withColumn("len", F.length("text")), ["lang"], "len", TDigestSpec())
+).select("lang", F.round("estimate", 1).alias("median_len")).orderBy("lang").show(4)
+
+print("== 7. dedup: exact + MinHash-LSH near-dup")
+print("   rows before:", web.count(), " after exact dedup:", dedup_exact(web, "url", ["text"]).count())
+labels = minhash_lsh_dedup(web.limit(5000).withColumn("doc_id", F.monotonically_increasing_id()), "doc_id", "text")
+print("   near-dup labels:", labels.filter("id != keeper_id").count(), "docs mapped to a keeper")
+
+print("== 8. text analysis (pure Catalyst)")
+with_quality_score(with_token_counts(web.limit(1000))).select(
+    "whitespace_tokens", "bpe_tokens", F.round("quality_score", 3).alias("quality")
+).show(3)
+
+print("== 9. named sets: registry + wire protocol")
+reg = SketchRegistry(os.path.join(work, "sets"))
+reg.create("demo_urls", precision=14)
+reg.add_dataframe("demo_urls", web, "url")  # distributed build merged in
+print("   info:", {k: round(v, 1) if isinstance(v, float) else v for k, v in reg.info("demo_urls").items()})
+reg.flush()
+
+print("== 10. checkpointed resumable build (kill after 2 splits, resume)")
+ck = os.path.join(work, "ck")
+assert checkpointed_build(spark, web_dir, ["lang"], "url", HllSpec(12), ckpt_dir=ck, job_id="demo", max_splits=2) is None
+out = checkpointed_build(spark, web_dir, ["lang"], "url", HllSpec(12), ckpt_dir=ck, job_id="demo")
+print("   resumed; splits:", len(lineage(ck, "demo")), "rows scanned:", sum(m["rows"] for m in lineage(ck, "demo")))
+with_estimate(out).orderBy(F.desc("n_rows")).show(3)
+
+spark.stop()
+print("demo complete")
