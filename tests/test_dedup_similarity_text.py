@@ -260,3 +260,32 @@ def test_fingerprint_deterministic(spark):
 
     a, b = _rolling_fingerprints(df["text"])
     assert a == b
+
+
+def test_ngram_jaccard_dedup_end_to_end(spark, neardup_docs):
+    """LSH candidates verified by exact n-gram Jaccard: near-copies map
+    to their family keeper with exact scores; fillers survive."""
+    from hlld_spark.operators.dedup import ngram_jaccard_dedup
+
+    out = ngram_jaccard_dedup(neardup_docs, "doc_id", "text", n=3, threshold=0.6)
+    j = out.join(neardup_docs.select(F.col("doc_id").alias("id"), "family", "kind"), "id").collect()
+    fam_of = {r["doc_id"]: r["family"] for r in neardup_docs.collect()}
+    copies = [r for r in j if r["kind"].startswith("copy")]
+    found = sum(1 for r in copies if r["keeper_id"] != r["id"] and fam_of[r["keeper_id"]] == r["family"])
+    assert found / len(copies) > 0.8
+    for r in j:
+        if r["keeper_id"] != r["id"]:
+            assert r["jaccard"] >= 0.6  # scores are the exact verification values
+    fillers = [r for r in j if r["kind"] == "filler"]
+    assert sum(1 for r in fillers if r["keeper_id"] != r["id"]) <= 1
+
+
+def test_minhash_empty_and_single_docs(spark):
+    """Degenerate inputs: empty strings and single-doc corpora."""
+    from hlld_spark.operators.dedup import minhash_lsh_dedup
+
+    df = spark.createDataFrame([(1, ""), (2, ""), (3, "some real text here")], "doc_id long, text string")
+    out = {r["id"]: r["keeper_id"] for r in minhash_lsh_dedup(df, "doc_id", "text", num_perm=32, bands=8).collect()}
+    assert out[1] == 1  # empty docs dedup to the min-id empty doc
+    assert out[2] == 1
+    assert out[3] == 3
