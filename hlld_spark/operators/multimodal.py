@@ -9,6 +9,7 @@ fake decoder for the engine's own binary format, clearly marked.
 Binary format for synthetic fixtures (self-describing, parsed for real):
     b"FIMG" | u16 width | u16 height | u8 channels | payload bytes
     b"FAUD" | u32 sample_rate | u32 n_samples | payload bytes
+    b"FVID" | u16 width | u16 height | u8 channels | u16 n_frames | frames
 Payload bytes are deterministic (splitmix64 of the asset id).
 """
 
@@ -34,6 +35,7 @@ from ..sources.webpages import splitmix64
 
 _IMG_MAGIC = b"FIMG"
 _AUD_MAGIC = b"FAUD"
+_VID_MAGIC = b"FVID"
 
 METADATA_SCHEMA = StructType(
     [
@@ -43,6 +45,7 @@ METADATA_SCHEMA = StructType(
         StructField("channels", IntegerType(), True),
         StructField("sample_rate", IntegerType(), True),
         StructField("n_samples", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
         StructField("payload_bytes", LongType(), False),
     ]
 )
@@ -72,12 +75,18 @@ def generate_assets(spark: SparkSession, n: int, seed: int = 42, partitions: int
                     body = _det_bytes(i, n_px, seed)
                     payloads.append(_IMG_MAGIC + struct.pack("<HHB", w, h, c) + body)
                     kinds.append("image")
-                else:
+                elif r % 3 == 1:
                     sr = 8000 + (r >> 16) % 8 * 1000
                     ns = 64 + (r >> 24) % 192
                     body = _det_bytes(i, ns * 2, seed)
                     payloads.append(_AUD_MAGIC + struct.pack("<II", sr, ns) + body)
                     kinds.append("audio")
+                else:
+                    w, h, c = 8 + r % 24, 8 + (r >> 8) % 24, 3
+                    nf = 4 + (r >> 16) % 28
+                    body = _det_bytes(i, w * h * c * nf, seed)
+                    payloads.append(_VID_MAGIC + struct.pack("<HHBH", w, h, c, nf) + body)
+                    kinds.append("video")
             yield pd.DataFrame({"asset_id": ids.astype(np.int64), "kind": kinds, "payload": payloads})
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=schema)
@@ -99,15 +108,18 @@ def parse_metadata(df: DataFrame, payload_col: str = "payload", out: str = "meta
             b = bytes(b or b"")
             if b[:4] == _IMG_MAGIC:
                 w, h, c = struct.unpack("<HHB", b[4:9])
-                rows.append(("image", w, h, c, None, None, len(b) - 9))
+                rows.append(("image", w, h, c, None, None, None, len(b) - 9))
             elif b[:4] == _AUD_MAGIC:
                 sr, ns = struct.unpack("<II", b[4:12])
-                rows.append(("audio", None, None, None, sr, ns, len(b) - 12))
+                rows.append(("audio", None, None, None, sr, ns, None, len(b) - 12))
+            elif b[:4] == _VID_MAGIC:
+                w, h, c, nf = struct.unpack("<HHBH", b[4:11])
+                rows.append(("video", w, h, c, None, None, nf, len(b) - 11))
             else:
-                rows.append(("unknown", None, None, None, None, None, len(b)))
+                rows.append(("unknown", None, None, None, None, None, None, len(b)))
         return pd.DataFrame(
             rows,
-            columns=["kind", "width", "height", "channels", "sample_rate", "n_samples", "payload_bytes"],
+            columns=["kind", "width", "height", "channels", "sample_rate", "n_samples", "n_frames", "payload_bytes"],
         )
 
     return df.withColumn(out, meta_udf(F.col(payload_col)))
@@ -185,6 +197,40 @@ def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "pa
             yield pdf
 
     return df.mapInPandas(rz, schema=schema)
+
+
+def sample_video_frames(
+    df: DataFrame, every_n: int = 4, payload_col: str = "payload", out: str = "frame_features"
+) -> DataFrame:
+    """Every-Nth-frame sampling of FVID payloads → per-sampled-frame
+    mean-pixel features (list of doubles). The batch contract — decode in
+    the worker, fixed small features out, never raw frames over the
+    wire — is the production shape; real video codecs are stubbed like
+    _decode_image."""
+    fields = list(df.schema.fields) + [StructField(out, ArrayType(DoubleType()), True)]
+    schema = StructType(fields)
+
+    def smp(batches):
+        for pdf in batches:
+            vals = []
+            for b in pdf[payload_col]:
+                b = bytes(b)
+                if b[:4] != _VID_MAGIC:
+                    vals.append(None)
+                    continue
+                w, h, c, nf = struct.unpack("<HHBH", b[4:11])
+                frame_sz = w * h * c
+                body = np.frombuffer(b[11 : 11 + frame_sz * nf], dtype=np.uint8)
+                if len(body) < frame_sz * nf:
+                    body = np.pad(body, (0, frame_sz * nf - len(body)))
+                frames = body.reshape(nf, frame_sz)
+                sampled = frames[::every_n]
+                vals.append([round(float(x), 6) for x in sampled.mean(axis=1)])
+            pdf = pdf.copy()
+            pdf[out] = vals
+            yield pdf
+
+    return df.mapInPandas(smp, schema=schema)
 
 
 def sample_audio_frames(df: DataFrame, every_n: int = 4, payload_col: str = "payload", out: str = "frame_samples") -> DataFrame:

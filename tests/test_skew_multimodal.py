@@ -83,13 +83,16 @@ def test_metadata_parsing(spark, assets):
     m = parse_metadata(assets).select("asset_id", "kind", "meta.*").collect()
     for r in m:
         if r["kind"] == "image":
-            assert r[1] == "image" or True
             assert r["width"] >= 8 and r["height"] >= 8 and r["channels"] == 3
             assert r["payload_bytes"] == r["width"] * r["height"] * r["channels"]
-        else:
+        elif r["kind"] == "audio":
             assert r["sample_rate"] >= 8000 and r["n_samples"] >= 64
+        else:
+            assert r["kind"] == "video"
+            assert r["n_frames"] >= 4
+            assert r["payload_bytes"] == r["width"] * r["height"] * r["channels"] * r["n_frames"]
     kinds = {r["kind"] for r in m}
-    assert kinds == {"image", "audio"}
+    assert kinds == {"image", "audio", "video"}
 
 
 def test_image_features_shape_and_determinism(spark, assets):
@@ -122,3 +125,17 @@ def test_unknown_payload_graceful(spark):
     r = parse_metadata(df).select("meta.*").first()
     assert r["kind"] == "unknown"
     assert extract_image_features(df).first()["features"] is None
+
+
+def test_video_kind_and_frame_sampling(spark, assets):
+    from hlld_spark.operators.multimodal import sample_video_frames
+
+    vids = assets.filter(F.col("kind") == "video")
+    assert vids.count() > 0
+    rows = parse_metadata(sample_video_frames(vids, every_n=4)).select(
+        "meta.n_frames", "frame_features"
+    ).collect()
+    for r in rows:
+        assert len(r["frame_features"]) == (r["n_frames"] + 3) // 4
+        for f in r["frame_features"]:
+            assert 0 <= f <= 255
