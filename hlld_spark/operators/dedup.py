@@ -184,13 +184,14 @@ def minhash_lsh_dedup(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    closure_rounds: int = 2,
 ) -> DataFrame:
     """Near-dup clusters via banded MinHash LSH.
 
     Returns (id, keeper_id, jaccard_est): every doc mapped to the minimum
-    id among its candidates whose estimated Jaccard ≥ threshold (one label-
-    propagation round per band join; transitive closure approximated by
-    `rounds` of min-propagation inside the band groupBy).
+    id among its candidates whose estimated Jaccard ≥ threshold, then
+    ``closure_rounds`` of pointer jumping collapse keeper chains
+    (covers transitive near-dup clusters up to 2^rounds links deep).
 
     Scale shape: rows shuffled are (band_key → id, signature) pairs —
     band keys are 8-byte hashes, signatures num_perm*8 bytes; no text
@@ -264,11 +265,22 @@ def minhash_lsh_dedup(
         F.min("keeper_id").alias("keeper_id"), F.max("jaccard_est").alias("jaccard_est")
     )
     all_ids = df.select(F.col(id_col).alias("id"))
-    return (
+    out = (
         all_ids.join(labels, "id", "left")
         .withColumn("keeper_id", F.coalesce(F.col("keeper_id"), F.col("id")))
         .withColumn("jaccard_est", F.coalesce(F.col("jaccard_est"), F.lit(1.0)))
     )
+    # transitive closure by pointer jumping: keeper ← keeper(keeper),
+    # log₂(chain length) rounds collapse chains (A→B→C ⇒ A→C). Each round
+    # is one self-join on the small (id, keeper) label table.
+    for _ in range(closure_rounds):
+        parent = out.select(F.col("id").alias("keeper_id"), F.col("keeper_id").alias("grand"))
+        out = (
+            out.join(parent, "keeper_id", "left")
+            .withColumn("keeper_id", F.coalesce(F.col("grand"), F.col("keeper_id")))
+            .drop("grand")
+        )
+    return out.select("id", "keeper_id", "jaccard_est")
 
 
 # ---------------------------------------------------------------------------

@@ -289,3 +289,13 @@ def test_minhash_empty_and_single_docs(spark):
     assert out[1] == 1  # empty docs dedup to the min-id empty doc
     assert out[2] == 1
     assert out[3] == 3
+
+
+def test_minhash_keeper_pointers_idempotent(spark, neardup_docs):
+    """After pointer-jumping closure, keeper(keeper(x)) == keeper(x)."""
+    from hlld_spark.operators.dedup import minhash_lsh_dedup
+
+    out = minhash_lsh_dedup(neardup_docs, "doc_id", "text", num_perm=64, bands=16, threshold=0.5).cache()
+    k = {r["id"]: r["keeper_id"] for r in out.collect()}
+    for i, kp in k.items():
+        assert k[kp] == kp, f"keeper chain not collapsed: {i} -> {kp} -> {k[kp]}"
