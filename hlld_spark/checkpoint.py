@@ -47,13 +47,9 @@ def _split_id(path: str) -> str:
 
 def plan_splits(input_path: str) -> list[tuple[str, str]]:
     """[(split_id, file)] — deterministic for a fixed input set."""
-    if os.path.isdir(input_path):
-        files = sorted(glob.glob(os.path.join(input_path, "*.parquet")))
-    else:
-        files = sorted(glob.glob(input_path))
-    if not files:
-        raise ValueError(f"no parquet files under {input_path!r}")
-    return [(_split_id(f), f) for f in files]
+    from .operators.sketch import list_parquet_files
+
+    return [(_split_id(f), f) for f in list_parquet_files(input_path)]
 
 
 def completed_splits(ckpt_dir: str, job_id: str) -> set[str]:

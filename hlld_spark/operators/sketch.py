@@ -242,6 +242,33 @@ def build_sketches(
     return partials.groupBy(*keys).applyInPandas(_make_merge_partials(keys), schema=schema)
 
 
+def list_parquet_files(path: str) -> list[str]:
+    """Plan the file splits for a parquet table path or glob.
+
+    Uses pyarrow.dataset discovery (works for local paths AND object
+    stores like s3://, and skips `_SUCCESS`-style non-data files via the
+    default '_'/'.' ignore prefixes); falls back to glob for patterns.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.dataset as _ds
+
+    if "*" in path or "?" in path:
+        files = sorted(_glob.glob(path))
+    else:
+        try:
+            files = sorted(_ds.dataset(path, format="parquet").files)
+        except Exception:
+            if _os.path.isdir(path):
+                files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+            else:
+                files = sorted(_glob.glob(path))
+    if not files:
+        raise ValueError(f"no parquet files under {path!r}")
+    return files
+
+
 def build_sketches_parquet(
     spark,
     path: str,
@@ -268,18 +295,10 @@ def build_sketches_parquet(
     ``filter`` is a pyarrow.dataset filter expression evaluated in the
     parquet reader (row-group pruning + late materialization).
     """
-    import glob as _glob
-    import os as _os
-
     spec = spec if spec is not None else HllSpec()
     keys = list(keys or [])
     accumulator_for(spec)
-    if _os.path.isdir(path):
-        files = sorted(_glob.glob(_os.path.join(path, "*.parquet")))
-    else:
-        files = sorted(_glob.glob(path))
-    if not files:
-        raise ValueError(f"no parquet files under {path!r}")
+    files = list_parquet_files(path)
     # key schema from the parquet footer (driver-side, metadata only)
     probe = spark.read.parquet(files[0]).select(*keys, col) if keys else spark.read.parquet(files[0]).select(col)
     schema = _result_schema(probe, keys)
