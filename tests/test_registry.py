@@ -175,3 +175,32 @@ def test_in_memory_close_is_noop(reg):
     assert reg.close("im") == DONE
     assert reg.info("im")["page_outs"] == 0
     assert reg.info("im")["size"] == pytest.approx(1, abs=0.1)
+
+
+def test_registry_stress_10k_names_prefix_iteration(reg):
+    """FIXTURES.md F2 'words' analog: ~10k deterministic pseudo-words
+    through create/list/prefix/drop (mirrors the reference's ART stress,
+    tests/test_art.c, without copying its word list)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    syll = ["ka", "ro", "mi", "ta", "lu", "en", "vo", "shi", "pa", "de"]
+    pool = set()
+    for n in range(12000):
+        word = "".join(syll[i] for i in rng.randint(0, 10, size=4)) + str(n % 7)
+        pool.add(word)
+    words = sorted(pool)[:10000]  # deterministic; dedupe may shrink the pool
+    for w in words:
+        assert reg.create(w) == "Done"
+    listed = [r["name"] for r in reg.list()]
+    assert listed == sorted(words)  # ART iteration order = sorted
+    # prefix iteration
+    prefix = words[len(words) // 2][:3]
+    expect = sorted(w for w in words if w.startswith(prefix))
+    assert [r["name"] for r in reg.list(prefix)] == expect
+    assert len(expect) >= 1
+    # drop half, re-list
+    for w in words[::2]:
+        reg.drop(w)
+    remaining = [r["name"] for r in reg.list()]
+    assert remaining == sorted(words[1::2])
