@@ -4,8 +4,9 @@ The reference's hot loop is ``bulk name k1 k2 ...`` — per-thread register
 updates into a shared array (/root/reference/src/conn_handler.c:166-217,
 src/set.c:267-289). Its distributed shape here:
 
-    stage 1  mapInPandas   — partition-local build: hash + rho + scatter-max
-                             over Arrow batches, one partial sketch per
+    stage 1  mapInArrow    — partition-local build: hash + rho + scatter-max
+                             over Arrow batches (pandas fallback on old
+                             PySpark), one partial sketch per
                              (partition, group). This is Catalyst's
                              partial-aggregate phase, hand-rolled because
                              Python UDAFs can't partial-agg natively.
@@ -96,8 +97,11 @@ def _make_build_partials_arrow(keys: list[str], col: str, spec):
                 b.add_prepared(prepared, np.arange(rb.num_rows))
                 counts[()] += rb.num_rows
                 continue
-            # combine per-key dictionary codes into one group code
-            code_arrays, dicts = [], []
+            # combine per-key dictionary codes into one group code; for
+            # 3+ keys each step is re-encoded with np.unique so the code
+            # range stays ≤ batch size (no int64 overflow regardless of
+            # key count / category cardinality)
+            combined = None
             for k in keys:
                 d = pc.dictionary_encode(rb.column(rb.schema.get_field_index(k)))
                 idxs = d.indices
@@ -107,31 +111,24 @@ def _make_build_partials_arrow(keys: list[str], col: str, spec):
                     if idxs.null_count
                     else idxs.to_numpy(zero_copy_only=False).astype(np.int64)
                 )
-                code_arrays.append(codes)
-                dicts.append(d.dictionary)
-            combined = code_arrays[0]
-            for i in range(1, len(code_arrays)):
-                combined = combined * (len(dicts[i]) + 1) + code_arrays[i]
+                if combined is None:
+                    combined = codes
+                else:
+                    combined = combined * (ncat + 1) + codes
+                    if len(keys) > 2:
+                        combined = np.unique(combined, return_inverse=True)[1]
             order = np.argsort(combined, kind="stable")
             sorted_codes = combined[order]
             bounds = np.flatnonzero(np.diff(sorted_codes)) + 1
             starts = np.concatenate(([0], bounds))
             ends = np.concatenate((bounds, [len(order)]))
+            key_cols = [rb.column(rb.schema.get_field_index(k)) for k in keys]
             for s, e in zip(starts, ends):
                 idx = order[s:e]
-                # decompose combined code back into per-key codes
-                c = int(sorted_codes[s])
-                parts = []
-                for i in range(len(keys) - 1, 0, -1):
-                    base = len(dicts[i]) + 1
-                    parts.append(c % base)
-                    c //= base
-                parts.append(c)
-                parts.reverse()
-                scalars = tuple(
-                    dicts[i][p] if p < len(dicts[i]) else pa.scalar(None, type=dicts[i].type)
-                    for i, p in enumerate(parts)
-                )
+                # group-key scalars straight from a representative row —
+                # exact arrow types preserved, nulls included
+                r0 = int(idx[0])
+                scalars = tuple(kc[r0] for kc in key_cols)
                 gkey = tuple(s.as_py() for s in scalars)
                 b = states.get(gkey)
                 if b is None:

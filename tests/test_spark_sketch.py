@@ -217,3 +217,19 @@ def test_null_group_keys_preserved(spark):
     )
     rows = {r["k"]: r["n_rows"] for r in build_sketches(df, ["k"], "v", HllSpec(12)).collect()}
     assert rows == {"a": 2, None: 2}
+
+
+def test_three_key_grouping(spark, wp):
+    """3+ group keys exercise the re-encoded code-combination path."""
+    df = wp.withColumn("day", F.to_date("warc_ts")).withColumn(
+        "host", F.regexp_extract("url", r"https://([^/]+)/", 1)
+    )
+    got = {
+        (r["lang"], str(r["day"]), r["host"]): r["n_rows"]
+        for r in build_sketches(df, ["lang", "day", "host"], "url", HllSpec(10)).collect()
+    }
+    exact = {
+        (r["lang"], str(r["day"]), r["host"]): r["n"]
+        for r in df.groupBy("lang", "day", "host").agg(F.count("url").alias("n")).collect()
+    }
+    assert got == exact
