@@ -74,6 +74,63 @@ def cosine_topk(df: DataFrame, id_col: str, vec_col: str, query, k: int = 10) ->
     return partials.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def cosine_topk_batch(
+    df: DataFrame, id_col: str, vec_col: str, queries, k: int = 10
+) -> DataFrame:
+    """Exact cosine top-k for MANY query vectors in one pass: each
+    partition computes one (batch × queries) matmul and keeps its local
+    top-k per query; global rank via a window. Shuffle volume:
+    partitions × queries × k rows. Returns (query_idx, id, cosine, rank).
+    """
+    from pyspark.sql import Window
+
+    q = np.asarray(queries, dtype=np.float64)
+    if q.ndim != 2:
+        raise ValueError("queries must be a (n_queries, dim) matrix")
+    qn = np.linalg.norm(q, axis=1, keepdims=True)
+    if (qn == 0).any():
+        raise ValueError("a query vector has zero norm")
+    qt = (q / qn).T  # (dim, n_queries)
+    nq = qt.shape[1]
+    schema = StructType(
+        [StructField("query_idx", IntegerType(), False), df.schema[id_col], StructField("cosine", DoubleType(), False)]
+    )
+
+    def part_topk(batches):
+        best = [([], np.zeros(0)) for _ in range(nq)]
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            vecs = _as_matrix(pdf[vec_col])
+            norms = np.linalg.norm(vecs, axis=1)
+            safe = np.where(norms == 0, 1.0, norms)
+            scores = (vecs @ qt) / safe[:, None]  # (n, nq)
+            scores[norms == 0, :] = -1.0
+            ids = pdf[id_col].to_numpy()
+            for j in range(nq):
+                prev_ids, prev_cos = best[j]
+                cand_cos = np.concatenate([prev_cos, scores[:, j]])
+                cand_ids = np.concatenate([np.asarray(prev_ids, dtype=ids.dtype), ids]) if prev_ids or len(ids) else ids
+                top = np.argsort(-cand_cos, kind="stable")[:k]
+                best[j] = (list(cand_ids[top]), cand_cos[top])
+        out_q, out_id, out_cos = [], [], []
+        for j in range(nq):
+            ids_j, cos_j = best[j]
+            out_q.extend([j] * len(ids_j))
+            out_id.extend(ids_j)
+            out_cos.extend(cos_j)
+        if out_q:
+            yield pd.DataFrame({"query_idx": np.array(out_q, dtype=np.int32), id_col: out_id, "cosine": out_cos})
+
+    partials = df.select(id_col, vec_col).mapInPandas(part_topk, schema=schema)
+    w = Window.partitionBy("query_idx").orderBy(F.desc("cosine"), F.col(id_col))
+    return (
+        partials.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .orderBy("query_idx", "rank")
+    )
+
+
 def lsh_topk(
     df: DataFrame,
     id_col: str,

@@ -299,3 +299,20 @@ def test_minhash_keeper_pointers_idempotent(spark, neardup_docs):
     k = {r["id"]: r["keeper_id"] for r in out.collect()}
     for i, kp in k.items():
         assert k[kp] == kp, f"keeper chain not collapsed: {i} -> {kp} -> {k[kp]}"
+
+
+def test_cosine_topk_batch_matches_single(spark, emb):
+    """Batch multi-query top-k agrees with per-query cosine_topk."""
+    from hlld_spark.operators.similarity import cosine_topk_batch
+
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    queries = mat[[0, 7, 42]]
+    out = cosine_topk_batch(emb, "vec_id", "embedding", queries, k=5).collect()
+    assert len(out) == 15
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_idx"], []).append(r["vec_id"])
+    for qi, qvec in enumerate(queries):
+        single = [r["vec_id"] for r in cosine_topk(emb, "vec_id", "embedding", qvec, 5).collect()]
+        assert by_q[qi] == single, f"query {qi}"
