@@ -176,6 +176,89 @@ def lsh_topk(
     return cands.orderBy(F.desc("cosine"), F.col(id_col)).limit(k)
 
 
+def ann_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    left_vec: str,
+    right_vec: str,
+    k: int = 1,
+    planes: int = 10,
+    tables: int = 6,
+    min_cosine: float = -1.0,
+    seed: int = 21,
+) -> DataFrame:
+    """Approximate k-NN join between two embedding tables: both sides are
+    bucketed by the SAME random hyperplanes (multi-table LSH), candidates
+    meet via an equi-join on (table, bucket), exact cosine verifies, and
+    a window keeps the top-k matches per left row.
+
+    The join key is a 16-byte (table, bucket) pair — no all-pairs blowup;
+    expected candidates per row ≈ tables × bucket_occupancy. This is the
+    cross-dataset near-dup / retrieval primitive (e.g. dedup a new crawl
+    against an existing corpus).
+    """
+    from pyspark.sql import Window
+
+    def bucketize(df, id_col, vec_col, side):
+        schema = StructType(
+            [
+                StructField("tbl", IntegerType(), False),
+                StructField("bucket", LongType(), False),
+                df.schema[id_col],
+                StructField(f"__vec_{side}", ArrayType(DoubleType()), False),
+            ]
+        )
+
+        def go(batches):
+            rng = np.random.RandomState(seed)
+            mats = None
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                vecs = _as_matrix(pdf[vec_col])
+                if mats is None:
+                    mats = [rng.standard_normal((vecs.shape[1], planes)) for _ in range(tables)]
+                for t in range(tables):
+                    proj = vecs @ mats[t] > 0
+                    bucket = np.zeros(len(vecs), dtype=np.int64)
+                    for p in range(planes):
+                        bucket |= proj[:, p].astype(np.int64) << p
+                    yield pd.DataFrame(
+                        {
+                            "tbl": np.full(len(vecs), t, dtype=np.int32),
+                            "bucket": bucket,
+                            id_col: pdf[id_col].values,
+                            f"__vec_{side}": list(vecs),
+                        }
+                    )
+
+        return df.select(id_col, vec_col).mapInPandas(go, schema=schema)
+
+    lb = bucketize(left, left_id, left_vec, "l")
+    rb = bucketize(right, right_id, right_vec, "r")
+    joined = lb.join(rb, ["tbl", "bucket"]).dropDuplicates([left_id, right_id])
+
+    @F.pandas_udf(DoubleType())
+    def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        va = np.stack([np.asarray(x) for x in a])
+        vb = np.stack([np.asarray(x) for x in b])
+        num = (va * vb).sum(axis=1)
+        den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
+        return pd.Series(np.where(den > 0, num / np.where(den == 0, 1, den), 0.0))
+
+    scored = joined.withColumn("cosine", cos_udf(F.col("__vec_l"), F.col("__vec_r"))).filter(
+        F.col("cosine") >= min_cosine
+    )
+    w = Window.partitionBy(left_id).orderBy(F.desc("cosine"), F.col(right_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(left_id, right_id, "cosine", "rank")
+    )
+
+
 def fit_ivf_centroids(
     df: DataFrame, vec_col: str, n_lists: int = 16, sample: int = 4096, iters: int = 10, seed: int = 3
 ) -> np.ndarray:

@@ -316,3 +316,23 @@ def test_cosine_topk_batch_matches_single(spark, emb):
     for qi, qvec in enumerate(queries):
         single = [r["vec_id"] for r in cosine_topk(emb, "vec_id", "embedding", qvec, 5).collect()]
         assert by_q[qi] == single, f"query {qi}"
+
+
+def test_ann_join_finds_noisy_copies(spark):
+    """Right table = noisy copies of left rows: the join must match each
+    left row to its own copy as the top hit."""
+    from hlld_spark.operators.similarity import ann_join
+
+    rng = np.random.RandomState(6)
+    base = rng.standard_normal((60, 24))
+    left = spark.createDataFrame(
+        [(i, base[i].tolist()) for i in range(60)], "lid long, lvec array<double>"
+    )
+    right = spark.createDataFrame(
+        [(1000 + i, (base[i] + rng.standard_normal(24) * 0.02).tolist()) for i in range(60)],
+        "rid long, rvec array<double>",
+    )
+    out = ann_join(left, right, "lid", "rid", "lvec", "rvec", k=1, planes=8, tables=8, min_cosine=0.9)
+    matches = {r["lid"]: (r["rid"], r["cosine"]) for r in out.collect()}
+    hit = sum(1 for lid, (rid, cos) in matches.items() if rid == 1000 + lid and cos > 0.99)
+    assert hit / 60 > 0.9, f"only {hit}/60 matched their noisy copy"
