@@ -239,6 +239,34 @@ def build_sketches(
     return partials.groupBy(*keys).applyInPandas(_make_merge_partials(keys), schema=schema)
 
 
+def _pq_filter_to_expr(filters):
+    """Convert read_table-style [(col, op, val), ...] filters to a
+    pyarrow.dataset expression (for the row-group read path)."""
+    import pyarrow.dataset as ds
+
+    expr = None
+    for col, op, val in filters:
+        f = ds.field(col)
+        if op in ("=", "=="):
+            e = f == val
+        elif op == "!=":
+            e = f != val
+        elif op == "<":
+            e = f < val
+        elif op == "<=":
+            e = f <= val
+        elif op == ">":
+            e = f > val
+        elif op == ">=":
+            e = f >= val
+        elif op == "in":
+            e = f.isin(val)
+        else:
+            raise ValueError(f"unsupported filter op {op!r}")
+        expr = e if expr is None else (expr & e)
+    return expr
+
+
 def list_parquet_files(path: str) -> list[str]:
     """Plan the file splits for a parquet table path or glob.
 
@@ -312,22 +340,48 @@ def build_sketches_parquet(
 
         build = _make_build_partials_arrow(fkeys, fcol, fspec)
         for rb in batches:
-            for fp in rb.column(0).to_pylist():
+            paths = rb.column(0).to_pylist()
+            rg_los = rb.column(1).to_pylist()
+            rg_his = rb.column(2).to_pylist()
+            for fp, lo, hi in zip(paths, rg_los, rg_his):
                 # use_threads=False: one core per task slot — pyarrow's
                 # internal pool would oversubscribe when every slot reads
-                tbl = pq.read_table(fp, columns=fkeys + [fcol], filters=ffilter, use_threads=False)
+                if lo < 0:  # whole file
+                    tbl = pq.read_table(fp, columns=fkeys + [fcol], filters=ffilter, use_threads=False)
+                else:  # row-group range split (few-huge-files case)
+                    pf = pq.ParquetFile(fp)
+                    cols = list(dict.fromkeys(fkeys + [fcol] + [c for c, _, _ in (ffilter or [])]))
+                    tbl = pf.read_row_groups(list(range(lo, hi)), columns=cols, use_threads=False)
+                    if ffilter is not None:
+                        tbl = tbl.filter(_pq_filter_to_expr(ffilter)).select(fkeys + [fcol])
                 yield from build(tbl.to_batches(batch_rows))
 
-    if files_per_task is None:
-        # exactly 2 waves of full-width tasks: balanced (uniform files)
-        # without ragged-last-wave makespan loss or per-file dispatch cost
-        par = spark.sparkContext.defaultParallelism
-        n_tasks = min(len(files), 2 * par)
+    par = spark.sparkContext.defaultParallelism
+    splits: list[tuple[str, int, int]]
+    if len(files) < par and files_per_task is None:
+        # fewer files than slots (e.g. one giant table file): split each
+        # file by row-group ranges so every slot gets work
+        import pyarrow.parquet as _pq
+
+        splits = []
+        per_file_tasks = max(1, (2 * par) // len(files))
+        for f in files:
+            n_rg = _pq.ParquetFile(f).metadata.num_row_groups
+            step = max(1, (n_rg + per_file_tasks - 1) // per_file_tasks)
+            for lo in range(0, n_rg, step):
+                splits.append((f, lo, min(lo + step, n_rg)))
+        n_tasks = min(len(splits), 2 * par)
     else:
-        n_tasks = (len(files) + files_per_task - 1) // files_per_task
+        splits = [(f, -1, -1) for f in files]
+        if files_per_task is None:
+            # exactly 2 waves of full-width tasks: balanced (uniform files)
+            # without ragged-last-wave makespan loss or per-file dispatch cost
+            n_tasks = min(len(splits), 2 * par)
+        else:
+            n_tasks = (len(splits) + files_per_task - 1) // files_per_task
     # parallelize slices directly — no repartition stage/shuffle barrier
     files_df = spark.createDataFrame(
-        spark.sparkContext.parallelize([(f,) for f in files], n_tasks), "path string"
+        spark.sparkContext.parallelize(splits, n_tasks), "path string, rg_lo int, rg_hi int"
     )
     partials = files_df.mapInArrow(read_and_build, schema=schema)
     # a second partial-merge pass: read_and_build emits one batch of

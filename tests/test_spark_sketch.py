@@ -233,3 +233,26 @@ def test_three_key_grouping(spark, wp):
         for r in df.groupBy("lang", "day", "host").agg(F.count("url").alias("n")).collect()
     }
     assert got == exact
+
+
+def test_parquet_direct_single_giant_file_rowgroup_splits(spark, wp, tmp_path):
+    """One big file must still parallelize (row-group range splits) and
+    produce byte-identical sketches."""
+    from hlld_spark.operators.sketch import build_sketches_parquet
+
+    d = str(tmp_path / "one")
+    # single file with several row groups
+    wp.coalesce(1).write.option("parquet.block.size", 64 * 1024).parquet(d)
+    import glob as g
+    import pyarrow.parquet as pq
+
+    f = g.glob(f"{d}/*.parquet")[0]
+    assert pq.ParquetFile(f).metadata.num_row_groups > 1
+    spec = HllSpec(12)
+    a = {r["lang"]: bytes(r["sketch"]) for r in build_sketches_parquet(spark, d, ["lang"], "url", spec).collect()}
+    b = {r["lang"]: bytes(r["sketch"]) for r in build_sketches(wp, ["lang"], "url", spec).collect()}
+    assert a == b
+    # filters still verified on the row-group path
+    fa = build_sketches_parquet(spark, d, [], "url", spec, filter=[("lang", "=", "en")]).collect()[0]
+    fb = build_sketches(wp.filter(F.col("lang") == "en"), [], "url", spec).collect()[0]
+    assert bytes(fa["sketch"]) == bytes(fb["sketch"]) and fa["n_rows"] == fb["n_rows"]
