@@ -46,22 +46,35 @@ _MERSENNE = (1 << 61) - 1
 # ---------------------------------------------------------------------------
 
 
-def dedup_exact(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
-    """Keep the min-id row per exact content group. Pure Catalyst, ONE
-    shuffle: md5 over the concatenated content → row_number window
-    partitioned by the hash (a groupBy + semi-join costs a second wide
-    shuffle of the full table). md5's 128 bits keep the birthday bound
-    negligible at 10^12 docs (p ≈ 1.5e-15)."""
-    from pyspark.sql import Window
+def dedup_exact(
+    df: DataFrame, id_col: str, content_cols: list[str], unique_ids: bool = True
+) -> DataFrame:
+    """Keep the min-id row per exact content group — with NO full-row
+    shuffle. Stage 1 projects (md5, id) — tens of bytes per row — and
+    computes keeper ids with a partial-aggregated groupBy (map-side
+    combine shrinks the exchange to distinct hashes per task). Stage 2
+    is a left-semi join of the input against the keeper-id set: payload
+    columns cross that exchange only if the caller actually selects them
+    (Catalyst prunes the semi-join to the id column for counts), and the
+    exchange disappears entirely when the input is bucketed /
+    storage-partitioned by id. md5's 128 bits keep the birthday bound
+    negligible at 10^12 docs (p ≈ 1.5e-15).
 
+    ``unique_ids=False`` adds a dropDuplicates(id) for inputs where the
+    id itself repeats (e.g. url-keyed crawls with refetches), so exactly
+    one row per keeper id survives.
+    """
     h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]))
-    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
-    return (
-        df.withColumn("__h", h)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__h", "__rn")
+    keepers = (
+        df.select(F.col(id_col).alias("__keep_id"), h.alias("__h"))
+        .groupBy("__h")
+        .agg(F.min("__keep_id").alias("__keep_id"))
+        .select("__keep_id")
     )
+    out = df.alias("__l").join(
+        keepers.alias("__r"), F.col(f"__l.{id_col}") == F.col("__r.__keep_id"), "left_semi"
+    )
+    return out if unique_ids else out.dropDuplicates([id_col])
 
 
 # ---------------------------------------------------------------------------
@@ -185,13 +198,21 @@ def minhash_lsh_dedup(
     shingle_k: int = 5,
     threshold: float = 0.8,
     closure_rounds: int = 2,
+    max_bucket_pairwise: int = 256,
 ) -> DataFrame:
     """Near-dup clusters via banded MinHash LSH.
 
-    Returns (id, keeper_id, jaccard_est): every doc mapped to the minimum
-    id among its candidates whose estimated Jaccard ≥ threshold, then
-    ``closure_rounds`` of pointer jumping collapse keeper chains
-    (covers transitive near-dup clusters up to 2^rounds links deep).
+    Returns (id, keeper_id, jaccard_est): within each (band, bucket) an
+    ALL-PAIRS signature comparison (one (B × B × perm) equality reduce —
+    signatures are tiny, so this is a cheap matmul-shaped kernel) maps
+    every doc to its smallest-id neighbor with estimated Jaccard ≥
+    threshold; ``closure_rounds`` of pointer jumping then collapse keeper
+    chains (covers transitive near-dup clusters up to 2^rounds links
+    deep). Pairwise — not min-id-only — verification means two near-dups
+    sharing a bucket are paired even when neither matches the bucket's
+    min-id doc. Buckets hotter than ``max_bucket_pairwise`` compare the
+    overflow rows against the bucket min only (degenerate buckets are
+    near-identical content, where min-anchoring is exact).
 
     Scale shape: rows shuffled are (band_key → id, signature) pairs —
     band keys are 8-byte hashes, signatures num_perm*8 bytes; no text
@@ -233,31 +254,40 @@ def minhash_lsh_dedup(
 
     banded = sig_df.mapInPandas(explode_bands, schema=band_schema)
 
+    id_type = sig_df.schema[id_col].dataType
     pair_schema = StructType(
         [
-            StructField("id", LongType(), False),
-            StructField("keeper_id", LongType(), False),
+            StructField("id", id_type, False),
+            StructField("keeper_id", id_type, False),
             StructField("jaccard_est", DoubleType(), False),
         ]
     )
+    cap = max_bucket_pairwise
 
     def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
-            return pd.DataFrame({"id": [], "keeper_id": [], "jaccard_est": []}).astype(
-                {"id": np.int64, "keeper_id": np.int64, "jaccard_est": np.float64}
-            )
-        ids = pdf[id_col].to_numpy()
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in pdf["signature"]])
-        order = np.argsort(ids)
-        ids, sigs = ids[order], sigs[order]
-        # estimated jaccard vs the bucket's min-id doc; sufficient for
-        # keeper assignment (min-propagation), avoids O(n²) in hot buckets
-        eq = (sigs == sigs[0]).mean(axis=1)
-        keep = eq >= threshold
-        return pd.DataFrame(
-            {"id": ids[keep], "keeper_id": ids[0], "jaccard_est": eq[keep]}
-        )
+            return pd.DataFrame({"id": [], "keeper_id": [], "jaccard_est": []})
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in pdf["signature"].to_numpy()[order]])
+        m = min(n, cap)
+        # all-pairs estimated Jaccard among the first m (smallest-id) docs
+        eq = (sigs[:m, None, :] == sigs[None, :m, :]).mean(axis=2)
+        hit = np.tril(eq >= threshold, -1)  # keeper candidates: strictly smaller ids
+        any_hit = hit.any(axis=1)
+        first_j = hit.argmax(axis=1)  # smallest matching id (rows are id-sorted)
+        rows_i = np.flatnonzero(any_hit)
+        out_id = list(ids[rows_i])
+        out_keep = list(ids[first_j[rows_i]])
+        out_est = list(eq[rows_i, first_j[rows_i]])
+        if n > m:  # hot-bucket overflow: anchor to the bucket min only
+            eqt = (sigs[m:] == sigs[0]).mean(axis=1)
+            keep = eqt >= threshold
+            out_id.extend(ids[m:][keep])
+            out_keep.extend([ids[0]] * int(keep.sum()))
+            out_est.extend(eqt[keep])
+        return pd.DataFrame({"id": out_id, "keeper_id": out_keep, "jaccard_est": out_est})
 
     pairs = banded.groupBy("band", "bucket").applyInPandas(bucket_pairs, schema=pair_schema)
     # a doc may match in several bands/buckets → global min keeper
@@ -316,11 +346,18 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_dedup(
-    df: DataFrame, id_col: str, text_col: str, hamming_threshold: int = 3, blocks: int = 4
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hamming_threshold: int = 3,
+    blocks: int = 4,
+    max_bucket_pairwise: int = 512,
 ) -> DataFrame:
     """Near-dup via SimHash: candidates share at least one of `blocks`
     16-bit blocks exactly (pigeonhole: hamming ≤ blocks−1 guarantees a
-    shared block); verified by popcount ≤ threshold."""
+    shared block); verified by ALL-PAIRS popcount ≤ threshold within the
+    bucket (vectorized m×m xor; overflow beyond ``max_bucket_pairwise``
+    anchors to the bucket min)."""
     sh = simhash_df(df, id_col, text_col)
     width = 64 // blocks
     mask = (1 << width) - 1
@@ -334,31 +371,50 @@ def simhash_dedup(
         )
         exploded = part if exploded is None else exploded.unionAll(part)
 
+    id_type = sh.schema[id_col].dataType
     pair_schema = StructType(
         [
-            StructField("id", LongType(), False),
-            StructField("keeper_id", LongType(), False),
+            StructField("id", id_type, False),
+            StructField("keeper_id", id_type, False),
             StructField("hamming", LongType(), False),
         ]
     )
     thr = hamming_threshold
+    cap = max_bucket_pairwise
 
-    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id": [], "keeper_id": [], "hamming": []}).astype(
-                {"id": np.int64, "keeper_id": np.int64, "hamming": np.int64}
-            )
-        order = np.argsort(pdf["id"].to_numpy())
-        ids = pdf["id"].to_numpy()[order]
-        hs = pdf["simhash"].to_numpy().astype(np.uint64)[order]
-        x = hs ^ hs[0]
-        ham = np.zeros(len(x), dtype=np.int64)
+    def _popcount(x: np.ndarray) -> np.ndarray:
+        if hasattr(np, "bitwise_count"):
+            return np.bitwise_count(x).astype(np.int64)
+        ham = np.zeros(x.shape, dtype=np.int64)
         v = x.copy()
         for _ in range(64):  # popcount via shift-add (vectorized)
             ham += (v & _U64(1)).astype(np.int64)
             v >>= _U64(1)
-        keep = ham <= thr
-        return pd.DataFrame({"id": ids[keep], "keeper_id": ids[0], "hamming": ham[keep]})
+        return ham
+
+    def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id": [], "keeper_id": [], "hamming": []})
+        order = np.argsort(pdf["id"].to_numpy())
+        ids = pdf["id"].to_numpy()[order]
+        hs = pdf["simhash"].to_numpy().astype(np.uint64)[order]
+        m = min(n, cap)
+        ham = _popcount(hs[:m, None] ^ hs[None, :m])
+        hit = np.tril(ham <= thr, -1)
+        any_hit = hit.any(axis=1)
+        first_j = hit.argmax(axis=1)
+        rows_i = np.flatnonzero(any_hit)
+        out_id = list(ids[rows_i])
+        out_keep = list(ids[first_j[rows_i]])
+        out_ham = list(ham[rows_i, first_j[rows_i]])
+        if n > m:
+            hamt = _popcount(hs[m:] ^ hs[0])
+            keep = hamt <= thr
+            out_id.extend(ids[m:][keep])
+            out_keep.extend([ids[0]] * int(keep.sum()))
+            out_ham.extend(hamt[keep])
+        return pd.DataFrame({"id": out_id, "keeper_id": out_keep, "hamming": out_ham})
 
     pairs = exploded.groupBy("block", "block_val").applyInPandas(bucket_verify, schema=pair_schema)
     labels = pairs.groupBy("id").agg(F.min("keeper_id").alias("keeper_id"), F.min("hamming").alias("hamming"))
@@ -422,13 +478,22 @@ def ngram_jaccard_dedup(
 
 
 def embedding_cosine_dedup(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95, planes: int = 16, seed: int = 7
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+    seed: int = 7,
+    max_bucket_pairwise: int = 256,
 ) -> DataFrame:
     """Near-dup by cosine similarity: random-hyperplane LSH (Charikar)
-    buckets, exact cosine verify against the bucket's min-id vector."""
+    buckets, exact ALL-PAIRS cosine verify within the bucket (one m×m
+    gram matmul over unit-normalized vectors; overflow beyond
+    ``max_bucket_pairwise`` anchors to the bucket min)."""
+    id_type = df.schema[id_col].dataType
     sig_schema = StructType(
         [
-            StructField("id", LongType(), False),
+            StructField("id", id_type, False),
             StructField("bucket", LongType(), False),
             StructField("vec", ArrayType(DoubleType()), False),
         ]
@@ -453,26 +518,39 @@ def embedding_cosine_dedup(
 
     pair_schema = StructType(
         [
-            StructField("id", LongType(), False),
-            StructField("keeper_id", LongType(), False),
+            StructField("id", id_type, False),
+            StructField("keeper_id", id_type, False),
             StructField("cosine", DoubleType(), False),
         ]
     )
     thr = threshold
+    cap = max_bucket_pairwise
 
     def verify(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame({"id": [], "keeper_id": [], "cosine": []}).astype(
-                {"id": np.int64, "keeper_id": np.int64, "cosine": np.float64}
-            )
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id": [], "keeper_id": [], "cosine": []})
         order = np.argsort(pdf["id"].to_numpy())
         ids = pdf["id"].to_numpy()[order]
         vecs = np.stack([np.asarray(v) for v in pdf["vec"]])[order]
-        ref = vecs[0]
-        denom = np.linalg.norm(vecs, axis=1) * np.linalg.norm(ref)
-        cos = np.where(denom > 0, vecs @ ref / np.where(denom == 0, 1, denom), 0.0)
-        keep = cos >= thr
-        return pd.DataFrame({"id": ids[keep], "keeper_id": ids[0], "cosine": cos[keep]})
+        norms = np.linalg.norm(vecs, axis=1)
+        unit = vecs / np.where(norms == 0, 1.0, norms)[:, None]
+        m = min(n, cap)
+        cos = unit[:m] @ unit[:m].T  # exact pairwise cosine, one matmul
+        hit = np.tril(cos >= thr, -1)
+        any_hit = hit.any(axis=1)
+        first_j = hit.argmax(axis=1)
+        rows_i = np.flatnonzero(any_hit)
+        out_id = list(ids[rows_i])
+        out_keep = list(ids[first_j[rows_i]])
+        out_cos = list(cos[rows_i, first_j[rows_i]])
+        if n > m:
+            cost = unit[m:] @ unit[0]
+            keep = cost >= thr
+            out_id.extend(ids[m:][keep])
+            out_keep.extend([ids[0]] * int(keep.sum()))
+            out_cos.extend(cost[keep])
+        return pd.DataFrame({"id": out_id, "keeper_id": out_keep, "cosine": out_cos})
 
     pairs = sigs.groupBy("bucket").applyInPandas(verify, schema=pair_schema)
     labels = pairs.groupBy("id").agg(F.min("keeper_id").alias("keeper_id"), F.max("cosine").alias("cosine"))

@@ -82,6 +82,81 @@ def test_dedup_exact_multicol(spark, docs):
     assert out.count() == exact
 
 
+def test_dedup_exact_nonunique_ids(spark):
+    """Refetch-shaped input: the same id appears on several identical
+    rows; unique_ids=False keeps exactly one row per keeper id."""
+    df = spark.createDataFrame(
+        [("u1", "aaa"), ("u1", "aaa"), ("u2", "aaa"), ("u3", "bbb"), ("u3", "bbb")],
+        ["url", "t"],
+    )
+    out = dedup_exact(df, "url", ["t"], unique_ids=False).collect()
+    assert sorted(r["url"] for r in out) == ["u1", "u3"]
+
+
+def test_dedup_exact_string_ids(spark):
+    df = spark.createDataFrame(
+        [("b", "x"), ("a", "x"), ("c", "y")], ["name", "t"]
+    )
+    kept = sorted(r["name"] for r in dedup_exact(df, "name", ["t"]).collect())
+    assert kept == ["a", "c"]
+
+
+def test_dedup_exact_plan_no_payload_shuffle(spark, sf_dir):
+    """The VERDICT-mandated scale shape: no Exchange in the dedup plan
+    carries the text payload (hash+id only), and no Window/sort of full
+    rows exists — the old full-row window design is gone."""
+    from hlld_spark.plans.explain_tools import exchange_inputs, executed_plan
+
+    spark.catalog.clearCache()
+    fresh = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_exact(fresh, "doc_id", ["text"]).select("doc_id")
+    plan = executed_plan(out)
+    assert "Window" not in plan
+    assert "LeftSemi" in plan
+    for inp in exchange_inputs(out):
+        assert "text#" not in inp, f"payload column crosses an exchange: {inp}"
+    assert out.count() == fresh.select("text").distinct().count()
+
+
+def test_minhash_hot_bucket_cap(spark):
+    """Buckets hotter than max_bucket_pairwise still dedup via the
+    bucket-min anchor path."""
+    docs = [(i, "identical content repeated for every doc in the corpus") for i in range(1, 13)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = minhash_lsh_dedup(df, "doc_id", "text", num_perm=32, bands=8, max_bucket_pairwise=3)
+    assert all(r["keeper_id"] == 1 for r in out.collect())
+
+
+def test_minhash_string_ids(spark, neardup_docs):
+    """Non-integer doc ids flow through the whole LSH pipeline (ADVICE:
+    pair/label schemas must inherit the input id type)."""
+    sdocs = neardup_docs.withColumn("sid", F.concat(F.lit("doc-"), F.format_string("%04d", "doc_id")))
+    out = minhash_lsh_dedup(sdocs, "sid", "text", num_perm=64, bands=16, threshold=0.5)
+    rows = out.collect()
+    assert all(isinstance(r["id"], str) and isinstance(r["keeper_id"], str) for r in rows)
+    merged = sum(1 for r in rows if r["keeper_id"] != r["id"])
+    assert merged >= 60  # the 80 near-copies mostly collapse
+
+
+def test_simhash_string_ids(spark, neardup_docs):
+    sdocs = neardup_docs.withColumn("sid", F.concat(F.lit("d"), F.col("doc_id").cast("string")))
+    rows = simhash_dedup(sdocs, "sid", "text", hamming_threshold=8).collect()
+    assert all(isinstance(r["id"], str) for r in rows)
+
+
+def test_embedding_dedup_string_ids(spark):
+    rng = np.random.RandomState(9)
+    base = rng.standard_normal((10, 8))
+    rows = []
+    for i in range(10):
+        rows.append((f"v{i:03d}a", base[i].tolist()))
+        rows.append((f"v{i:03d}b", (base[i] + rng.standard_normal(8) * 0.001).tolist()))
+    df = spark.createDataFrame(rows, "id string, vec array<double>")
+    out = {r["id"]: r["keeper_id"] for r in embedding_cosine_dedup(df, "id", "vec", threshold=0.99, planes=6).collect()}
+    hit = sum(1 for i in range(10) if out[f"v{i:03d}b"] == f"v{i:03d}a")
+    assert hit >= 7
+
+
 # --- minhash -----------------------------------------------------------------
 
 
