@@ -198,6 +198,12 @@ def ann_join(
     expected candidates per row ≈ tables × bucket_occupancy. This is the
     cross-dataset near-dup / retrieval primitive (e.g. dedup a new crawl
     against an existing corpus).
+
+    Scale shape: vectors ride ONLY the bucket equi-join (where they are
+    needed to score); the cosine is computed immediately after the join
+    and the multi-table candidate dedup aggregates scalar
+    (left_id, right_id, cosine) rows — no array column crosses the
+    post-join exchange.
     """
     from pyspark.sql import Window
 
@@ -238,7 +244,7 @@ def ann_join(
 
     lb = bucketize(left, left_id, left_vec, "l")
     rb = bucketize(right, right_id, right_vec, "r")
-    joined = lb.join(rb, ["tbl", "bucket"]).dropDuplicates([left_id, right_id])
+    joined = lb.join(rb, ["tbl", "bucket"])
 
     @F.pandas_udf(DoubleType())
     def cos_udf(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -248,8 +254,16 @@ def ann_join(
         den = np.linalg.norm(va, axis=1) * np.linalg.norm(vb, axis=1)
         return pd.Series(np.where(den > 0, num / np.where(den == 0, 1, den), 0.0))
 
-    scored = joined.withColumn("cosine", cos_udf(F.col("__vec_l"), F.col("__vec_r"))).filter(
-        F.col("cosine") >= min_cosine
+    # score BEFORE deduping multi-table candidates: the dedup exchange
+    # then carries only (left_id, right_id, cosine) scalars, never the
+    # 2×dim×8-byte vector pair (the same pair scores identically in
+    # every table, so max == the one true cosine)
+    scored = (
+        joined.withColumn("cosine", cos_udf(F.col("__vec_l"), F.col("__vec_r")))
+        .select(left_id, right_id, "cosine")
+        .groupBy(left_id, right_id)
+        .agg(F.max("cosine").alias("cosine"))
+        .filter(F.col("cosine") >= min_cosine)
     )
     w = Window.partitionBy(left_id).orderBy(F.desc("cosine"), F.col(right_id))
     return (

@@ -96,38 +96,48 @@ _LANG_MARKERS = {
 }
 
 
+_MARKER_LANGS = [lang for lang, m in _LANG_MARKERS.items() if m]
+
+
 def _lang_id_batch(texts: pd.Series) -> pd.Series:
-    out = []
-    for t in texts:
-        t = (t or "").lower()
-        if not t:
-            out.append("und")
-            continue
-        # script ranges first (vectorized per doc via ord buckets)
-        arr = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
-        n = len(arr)
-        cyr = ((arr >= 0x0400) & (arr <= 0x04FF)).mean()
-        kana = ((arr >= 0x3040) & (arr <= 0x30FF)).mean()
-        han = ((arr >= 0x4E00) & (arr <= 0x9FFF)).mean()
-        if cyr > 0.3:
-            out.append("ru")
-            continue
-        if kana > 0.05:
-            out.append("ja")
-            continue
-        if han > 0.3:
-            out.append("zh")
-            continue
-        padded = f" {t} "
-        best, best_score = "und", 0.0
-        for lang, markers in _LANG_MARKERS.items():
-            if not markers:
-                continue
-            score = sum(padded.count(m) for m in markers) / max(n / 100, 1)
-            if score > best_score:
-                best, best_score = lang, score
-        out.append(best if best_score > 0 else "und")
-    return pd.Series(out)
+    """Whole-batch vectorized language ID: one utf-32 decode of the
+    concatenated batch buffer for script-range ratios (cumsum-diff per
+    doc — no per-row Python), and pandas' C-level `str.count` for the
+    per-language marker profiles. No per-document Python loop."""
+    t = texts.fillna("").astype(str).str.lower()
+    n_docs = len(t)
+    if n_docs == 0:
+        return pd.Series([], dtype=object)
+    lens = t.str.len().to_numpy(dtype=np.int64)
+    # script ratios over ONE concatenated code-point buffer
+    arr = np.frombuffer("".join(t.tolist()).encode("utf-32-le"), dtype=np.uint32)
+    bounds = np.concatenate(([0], np.cumsum(lens)))
+
+    def per_doc_ratio(mask: np.ndarray) -> np.ndarray:
+        c = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+        return (c[bounds[1:]] - c[bounds[:-1]]) / np.maximum(lens, 1)
+
+    cyr = per_doc_ratio((arr >= 0x0400) & (arr <= 0x04FF))
+    kana = per_doc_ratio((arr >= 0x3040) & (arr <= 0x30FF))
+    han = per_doc_ratio((arr >= 0x4E00) & (arr <= 0x9FFF))
+    # marker profiles: vectorized substring counts on the padded batch
+    import re as _re
+
+    padded = (" " + t + " ")
+    scores = np.zeros((n_docs, len(_MARKER_LANGS)))
+    for j, lang in enumerate(_MARKER_LANGS):
+        for m in _LANG_MARKERS[lang]:
+            scores[:, j] += padded.str.count(_re.escape(m)).to_numpy(dtype=np.float64)
+    scores /= np.maximum(lens / 100.0, 1.0)[:, None]
+    best_j = scores.argmax(axis=1)
+    best_score = scores[np.arange(n_docs), best_j]
+    marker_lang = np.array(_MARKER_LANGS, dtype=object)[best_j]
+    out = np.where(best_score > 0, marker_lang, "und")
+    out = np.where(han > 0.3, "zh", out)
+    out = np.where(kana > 0.05, "ja", out)
+    out = np.where(cyr > 0.3, "ru", out)
+    out = np.where(lens == 0, "und", out)
+    return pd.Series(out, dtype=object)
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text", out: str = "lang_id") -> DataFrame:
@@ -177,10 +187,20 @@ def with_fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerpr
 
 
 def fingerprint_overlap_pairs(df: DataFrame, id_col: str, fp_col: str = "fingerprints",
-                              min_shared: int = 2) -> DataFrame:
+                              min_shared: int = 2, max_doc_freq: int = 1000) -> DataFrame:
     """Docs sharing ≥ min_shared winnowed fingerprints (inverted-index
-    join: explode → self-join on fingerprint → count shared)."""
+    join: explode → self-join on fingerprint → count shared).
+
+    Fingerprints whose document frequency exceeds ``max_doc_freq`` are
+    dropped before the self-join (broadcast anti-join — the hot set is
+    tiny by construction: ≤ total_postings / max_doc_freq entries), so
+    one ubiquitous shingle can't quadratic a bucket: each surviving
+    posting list contributes ≤ max_doc_freq² pairs. Boilerplate common
+    to >max_doc_freq docs is noise for overlap detection anyway (the
+    same df-capping IDF intuition as winnowing itself)."""
     ex = df.select(F.col(id_col).alias("id"), F.explode(fp_col).alias("fp"))
+    hot = ex.groupBy("fp").agg(F.count("*").alias("__df")).filter(F.col("__df") > max_doc_freq)
+    ex = ex.join(F.broadcast(hot.select("fp")), "fp", "left_anti")
     a = ex.alias("a")
     b = ex.alias("b")
     return (
@@ -189,3 +209,12 @@ def fingerprint_overlap_pairs(df: DataFrame, id_col: str, fp_col: str = "fingerp
         .agg(F.count("*").alias("shared_fingerprints"))
         .filter(F.col("shared_fingerprints") >= min_shared)
     )
+
+
+def hot_fingerprints(df: DataFrame, id_col: str, fp_col: str = "fingerprints",
+                     max_doc_freq: int = 1000) -> DataFrame:
+    """The fingerprints fingerprint_overlap_pairs would drop at this cap,
+    with their document frequencies — for logging/inspection of what the
+    cap excluded."""
+    ex = df.select(F.col(id_col).alias("id"), F.explode(fp_col).alias("fp"))
+    return ex.groupBy("fp").agg(F.count("*").alias("doc_freq")).filter(F.col("doc_freq") > max_doc_freq)

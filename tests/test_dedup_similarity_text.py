@@ -313,6 +313,47 @@ def test_lang_id(spark):
         assert r["lang_id"] == r["expected"], (r["expected"], r["lang_id"])
 
 
+def test_lang_id_batch_vectorized_consistency(spark):
+    """The batch-vectorized path agrees with itself across batch shapes
+    (one doc per batch vs all docs in one batch) and handles edge docs."""
+    from hlld_spark.operators.text import _lang_id_batch
+
+    texts = [
+        "the quick brown fox is one of the animals that jumped over",
+        "el perro de la casa que corre en los campos de la tierra",
+        "der hund und die katze sind nicht das gleiche tier und das ist gut",
+        "собака и кошка бегут по полю возле дома",
+        "狗和猫在田野里奔跑这是一个很长的句子",
+        "",
+        "zzz qqq xxx",  # no markers → und
+        "le chat de la maison et les oiseaux des champs",
+    ]
+    whole = list(_lang_id_batch(pd.Series(texts)))
+    single = [_lang_id_batch(pd.Series([t])).iloc[0] for t in texts]
+    assert whole == single
+    assert whole == ["en", "es", "de", "ru", "zh", "und", "und", "fr"]
+
+
+def test_fingerprint_hot_cap(spark):
+    """An adversarial shingle shared by every doc must not quadratic the
+    self-join: with the cap it is dropped, and pair counts stay bounded."""
+    from hlld_spark.operators.text import hot_fingerprints
+
+    boiler = "this exact boilerplate footer appears on every single page of the site"
+    df = spark.createDataFrame(
+        [(i, f"unique body {i} with its own words " * 3 + boiler) for i in range(20)],
+        ["doc_id", "text"],
+    )
+    fp = with_fingerprint(df, "text").cache()
+    hot = hot_fingerprints(fp, "doc_id", max_doc_freq=10)
+    assert hot.count() > 0  # the boilerplate fingerprints exceed the cap
+    pairs = fingerprint_overlap_pairs(fp, "doc_id", min_shared=2, max_doc_freq=10)
+    # capped: boilerplate-only overlap no longer pairs all 190 combos
+    assert pairs.count() < 190
+    uncapped = fingerprint_overlap_pairs(fp, "doc_id", min_shared=2, max_doc_freq=10**9)
+    assert uncapped.count() == 190
+
+
 def test_fingerprints_detect_overlap(spark):
     shared = "the quick brown fox jumps over the lazy dog again and again in the field"
     df = spark.createDataFrame(
@@ -411,3 +452,11 @@ def test_ann_join_finds_noisy_copies(spark):
     matches = {r["lid"]: (r["rid"], r["cosine"]) for r in out.collect()}
     hit = sum(1 for lid, (rid, cos) in matches.items() if rid == 1000 + lid and cos > 0.99)
     assert hit / 60 > 0.9, f"only {hit}/60 matched their noisy copy"
+    # scale shape: vectors ride only the 2 pre-join bucketize exchanges;
+    # the candidate-dedup and top-k exchanges carry scalars only
+    from hlld_spark.plans.explain_tools import exchange_inputs
+
+    vec_exchanges = {i for i in exchange_inputs(out) if "__vec_" in i}
+    assert len(vec_exchanges) <= 2, vec_exchanges  # only the 2 bucketize sides
+    for i in vec_exchanges:  # and never a post-join exchange (both vectors)
+        assert not ("__vec_l" in i and "__vec_r" in i), i
