@@ -80,6 +80,56 @@ def test_windowed_stream(spark, stream_dir, tmp_path):
         assert pdf.loc[d, "n_rows"] == n
 
 
+def test_windowed_state_eviction_soak(spark, tmp_path):
+    """processingTime-trigger soak over ≥3 micro-batches: closed
+    windows' state is REMOVED by the event-time timeout (ADVICE fix) —
+    the state store holds only open windows at the end, not one entry
+    per window ever seen."""
+    import json
+    import time as _t
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    # four files, strictly advancing event time: one day each
+    for day in range(4):
+        spark.range(200).select(
+            F.to_timestamp(F.lit(f"2024-01-0{day+1} 12:00:00")).alias("ts"),
+            F.concat(F.lit(f"u{day}-"), F.col("id").cast("string")).alias("uid"),
+        ).coalesce(1).write.mode("append").parquet(d)
+        _t.sleep(1.1)  # distinct mtimes → deterministic file order
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out = windowed_sketch_stream(stream, "ts", [], "uid", HllSpec(10), window="1 day", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("evict_soak")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ck_evict"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    deadline = _t.time() + 120
+    last_state_rows = None
+    while _t.time() < deadline:
+        p = q.lastProgress
+        if p and p["batchId"] >= 5 and p["stateOperators"]:
+            last_state_rows = p["stateOperators"][0]["numRowsTotal"]
+            if last_state_rows is not None and last_state_rows <= 2:
+                break
+        _t.sleep(0.5)
+    q.stop()
+    # ≥4 data micro-batches ran (one per file) under the processingTime trigger
+    data_batches = [p for p in q.recentProgress if p["numInputRows"] > 0]
+    assert len(data_batches) >= 3, f"only {len(data_batches)} micro-batches"
+    # days 1-2 evicted once the watermark passed their window end;
+    # without state.remove() this would be 4
+    assert last_state_rows is not None and last_state_rows <= 2, last_state_rows
+    # emitted results still cover all four windows
+    pdf = spark.sql("select * from evict_soak").toPandas()
+    assert pdf["window_start"].nunique() == 4
+    assert (pdf.groupby("window_start")["n_rows"].max() == 200).all()
+
+
 def test_stream_into_registry(spark, stream_dir, tmp_path):
     """Streamed keys land in named registry sets, durable and correct."""
     from hlld_spark.registry import SketchRegistry
