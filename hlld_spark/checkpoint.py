@@ -41,8 +41,11 @@ from .operators.sketch import (
 
 
 def _split_id(path: str) -> str:
+    # mtime_ns is part of the identity: a rewritten input file with the
+    # same size but different contents must invalidate its checkpoint
+    # marker instead of silently reusing the stale partial (ADVICE fix)
     st = os.stat(path)
-    return hashlib.sha1(f"{path}:{st.st_size}".encode()).hexdigest()[:16]
+    return hashlib.sha1(f"{path}:{st.st_size}:{st.st_mtime_ns}".encode()).hexdigest()[:16]
 
 
 def plan_splits(input_path: str) -> list[tuple[str, str]]:

@@ -317,8 +317,10 @@ def build_sketches_parquet(
     Source / pyiceberg plan_files read data files the same way): the
     scan happens where the compute is, object store → worker.
 
-    ``filter`` is a pyarrow.dataset filter expression evaluated in the
-    parquet reader (row-group pruning + late materialization).
+    ``filter`` accepts EITHER a read_table-style ``[(col, op, val), ...]``
+    tuple list OR a ``pyarrow.dataset`` Expression; both forms are
+    evaluated in the parquet reader (row-group pruning + late
+    materialization) on both the whole-file and row-group-split paths.
     """
     spec = spec if spec is not None else HllSpec()
     keys = list(keys or [])
@@ -348,12 +350,18 @@ def build_sketches_parquet(
                 # internal pool would oversubscribe when every slot reads
                 if lo < 0:  # whole file
                     tbl = pq.read_table(fp, columns=fkeys + [fcol], filters=ffilter, use_threads=False)
-                else:  # row-group range split (few-huge-files case)
-                    pf = pq.ParquetFile(fp)
-                    cols = list(dict.fromkeys(fkeys + [fcol] + [c for c, _, _ in (ffilter or [])]))
-                    tbl = pf.read_row_groups(list(range(lo, hi)), columns=cols, use_threads=False)
+                else:  # row-group range split (few-huge-files case):
+                    # dataset-fragment scan so BOTH filter forms (tuple
+                    # list or ds.Expression) get row-group pruning + late
+                    # materialization, same as the whole-file path
+                    import pyarrow.dataset as pds
+
+                    frag = next(iter(pds.dataset(fp, format="parquet").get_fragments()))
+                    sub = frag.subset(row_group_ids=list(range(lo, hi)))
+                    expr = None
                     if ffilter is not None:
-                        tbl = tbl.filter(_pq_filter_to_expr(ffilter)).select(fkeys + [fcol])
+                        expr = ffilter if isinstance(ffilter, pds.Expression) else _pq_filter_to_expr(ffilter)
+                    tbl = sub.to_table(columns=fkeys + [fcol], filter=expr, use_threads=False)
                 yield from build(tbl.to_batches(batch_rows))
 
     par = spark.sparkContext.defaultParallelism

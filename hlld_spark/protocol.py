@@ -82,31 +82,32 @@ class CommandHandler:
             return f"{_CLIENT_ERR}{_SET_NEEDED}\n"
         fields = args.split(" ")
         name = fields[0]
-        precision = eps = None
-        in_memory = False
-        # option parsing mirrors src/conn_handler.c:244-295
+        options: list[tuple[str, object]] = []
+        # option parsing mirrors src/conn_handler.c:244-295: wire order
+        # preserved (each option re-derives the coupled precision/eps
+        # pair in the registry; last one wins)
         for opt in fields[1:]:
             if not opt:
                 continue
             if opt.startswith("precision="):
                 try:
-                    precision = int(opt[len("precision=") :])
+                    options.append(("precision", int(opt[len("precision=") :])))
                 except ValueError:
                     return f"{_CLIENT_ERR}{_BAD_ARGS}\n"
             elif opt.startswith("eps="):
                 try:
-                    eps = float(opt[len("eps=") :])
+                    options.append(("eps", float(opt[len("eps=") :])))
                 except ValueError:
                     return f"{_CLIENT_ERR}{_BAD_ARGS}\n"
             elif opt.startswith("in_memory="):
                 try:
-                    in_memory = bool(int(opt[len("in_memory=") :]))
+                    options.append(("in_memory", int(opt[len("in_memory=") :])))
                 except ValueError:
                     return f"{_CLIENT_ERR}{_BAD_ARGS}\n"
             else:
                 return f"{_CLIENT_ERR}{_BAD_ARGS}\n"
         try:
-            res = self.reg.create(name, precision=precision, eps=eps, in_memory=in_memory)
+            res = self.reg.create(name, options=options)
         except HlldError as e:
             msg = str(e)
             if "Bad set name" in msg:

@@ -116,24 +116,67 @@ class SketchRegistry:
 
     # --- C1 create ------------------------------------------------------------
 
-    def create(self, name: str, precision: int | None = None, eps: float | None = None, in_memory: bool = False) -> str:
+    def create(
+        self,
+        name: str,
+        precision: int | None = None,
+        eps: float | None = None,
+        in_memory: bool | int = False,
+        options: list[tuple[str, object]] | None = None,
+    ) -> str:
+        """C1 create — reference-exact option semantics.
+
+        ``options`` is the wire-ordered [(kind, value), ...] list; each
+        option is applied sequentially over the defaults exactly like
+        conn_handler.c:244-295 (precision= derives eps, eps= derives
+        precision then re-derives the actual eps, last option wins), and
+        the RESULT is validated like sane_default_precision /
+        sane_default_eps / sane_in_memory (src/config.c:264-337):
+        out-of-range values raise Bad arguments — never clamp. The
+        keyword form is sugar for options=[("precision", p)] etc.
+        """
         if not VALID_NAME.match(name or ""):
             raise HlldError(BAD_NAME)
         if name in self._pending_delete:
             return DELETE_IN_PROGRESS
         if name in self._sets:
             return EXISTS
-        # eps ↔ precision coupling: given eps derive p, then re-derive the
-        # actual eps from p (src/conn_handler.c:257-271)
-        if precision is None:
-            e = eps if eps is not None else self.default_eps
-            precision = hll.precision_for_error(e)
-            if precision < 0:
+        if options is None:
+            options = []
+            if precision is not None:
+                options.append(("precision", precision))
+            if eps is not None:
+                options.append(("eps", eps))
+            if in_memory:
+                options.append(("in_memory", int(in_memory)))
+        # sequential option application over the config defaults
+        # (src/conn_handler.c:256-282): each step re-derives the coupled
+        # (precision, eps) pair; out-of-range intermediates produce
+        # out-of-range results that fail validation below
+        p = self.default_precision
+        e = hll.error_for_precision(p)
+        mem = 0
+        for kind, val in options:
+            if kind == "precision":
+                p = int(val)
+                e = hll.error_for_precision(p)
+            elif kind == "eps":
+                p = hll.precision_for_error(float(val))
+                e = hll.error_for_precision(p)
+            elif kind == "in_memory":
+                mem = int(val)
+            else:
                 raise HlldError("Client Error: Bad arguments")
-            precision = min(max(precision, hll.HLL_MIN_PRECISION), hll.HLL_MAX_PRECISION)
-        if not (hll.HLL_MIN_PRECISION <= precision <= hll.HLL_MAX_PRECISION):
+        # validation — reject, don't clamp (sane_default_* in config.c)
+        if not (hll.HLL_MIN_PRECISION <= p <= hll.HLL_MAX_PRECISION):
             raise HlldError("Client Error: Bad arguments")
-        actual_eps = hll.error_for_precision(precision)
+        if e > hll.error_for_precision(hll.HLL_MIN_PRECISION) or e < hll.error_for_precision(hll.HLL_MAX_PRECISION):
+            raise HlldError("Client Error: Bad arguments")
+        if mem not in (0, 1):
+            raise HlldError("Client Error: Bad arguments")
+        precision = p
+        in_memory = bool(mem)
+        actual_eps = e
         s = _Set(name, precision, actual_eps, in_memory)
         existing_data = os.path.exists(self._data_path(name))
         if existing_data:

@@ -76,3 +76,35 @@ def test_rerun_is_noop(spark, corpus_dir, tmp_path):
     assert bytes(row1["sketch"]) == bytes(row2["sketch"])
     for sid, m in markers.items():
         assert os.path.getmtime(os.path.join(ck, "j3", f"split_{sid}.json")) == m
+
+
+def test_rewritten_same_size_file_invalidates_split(spark, tmp_path):
+    """ADVICE fix: a rewritten input file with identical size but
+    different contents must NOT be treated as already-completed — the
+    split id includes mtime, so resume rebuilds it."""
+    import shutil
+    import time
+
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def write(vals, path):
+        pq.write_table(pa.table({"k": pa.array(vals, pa.string())}), path, compression="none")
+
+    f = os.path.join(d, "part-0.parquet")
+    write([f"a{i}" for i in range(100)], f)
+    ck = str(tmp_path / "ck")
+    out1 = checkpointed_build(spark, d, [], "k", HllSpec(12), ckpt_dir=ck, job_id="jr")
+    est1 = out1.first()["n_rows"]
+    old_ids = set(completed_splits(ck, "jr"))
+    # rewrite with same row count/shape, different values → same size
+    time.sleep(0.05)
+    write([f"b{i}" for i in range(100)], f)
+    out2 = checkpointed_build(spark, d, [], "k", HllSpec(12), ckpt_dir=ck, job_id="jr")
+    new_ids = set(completed_splits(ck, "jr")) - old_ids
+    assert new_ids, "rewritten file reused the stale checkpoint split"
+    direct = build_sketches(spark.read.parquet(d), [], "k", HllSpec(12)).first()
+    assert bytes(out2.first()["sketch"]) == bytes(direct["sketch"])

@@ -131,3 +131,26 @@ def test_list_line_format(h):
     name, eps, prec, nbytes, est = line.split(" ")
     assert name == "fmt" and eps == "0.032500" and prec == "10"
     assert nbytes == "820" and est == "3"
+
+
+def test_create_option_validation_rejects_not_clamps(h):
+    """ADVICE parity fix vs sane_default_* (src/config.c:264-337):
+    out-of-range eps/precision and in_memory∉{0,1} are Bad arguments —
+    never clamped into range."""
+    assert h.handle_command("create a eps=0.001\n") == "Client Error: Bad arguments\n"
+    assert h.handle_command("create a eps=0.9\n") == "Client Error: Bad arguments\n"
+    assert h.handle_command("create a precision=3\n") == "Client Error: Bad arguments\n"
+    assert h.handle_command("create a precision=19\n") == "Client Error: Bad arguments\n"
+    assert h.handle_command("create a in_memory=2\n") == "Client Error: Bad arguments\n"
+    assert h.handle_command("create a in_memory=-1\n") == "Client Error: Bad arguments\n"
+    # the failed creates must not have registered the set
+    assert h.handle_command("list\n") == "START\nEND\n"
+    assert h.handle_command("create a eps=0.005 in_memory=1\n") == "Done\n"
+
+
+def test_create_options_apply_in_wire_order(h):
+    """conn_handler.c applies options sequentially — last one wins."""
+    assert h.handle_command("create p_then_e precision=10 eps=0.01\n") == "Done\n"
+    assert "precision 14" in h.handle_command("info p_then_e\n")
+    assert h.handle_command("create e_then_p eps=0.01 precision=10\n") == "Done\n"
+    assert "precision 10" in h.handle_command("info e_then_p\n")

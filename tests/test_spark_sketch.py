@@ -202,11 +202,13 @@ def test_parquet_direct_filter_pushdown(spark, wp, tmp_path):
     d = str(tmp_path / "wpf")
     wp.write.parquet(d)
     spec = HllSpec(12)
-    filt = [("lang", "=", "en")]
-    a = build_sketches_parquet(spark, d, [], "url", spec, filter=filt).collect()[0]
+    import pyarrow.dataset as ds
+
     b = build_sketches(spark.read.parquet(d).filter(F.col("lang") == "en"), [], "url", spec).collect()[0]
-    assert bytes(a["sketch"]) == bytes(b["sketch"])
-    assert a["n_rows"] == b["n_rows"]
+    for filt in ([("lang", "=", "en")], ds.field("lang") == "en"):
+        a = build_sketches_parquet(spark, d, [], "url", spec, filter=filt).collect()[0]
+        assert bytes(a["sketch"]) == bytes(b["sketch"])
+        assert a["n_rows"] == b["n_rows"]
 
 
 def test_null_group_keys_preserved(spark):
@@ -252,7 +254,11 @@ def test_parquet_direct_single_giant_file_rowgroup_splits(spark, wp, tmp_path):
     a = {r["lang"]: bytes(r["sketch"]) for r in build_sketches_parquet(spark, d, ["lang"], "url", spec).collect()}
     b = {r["lang"]: bytes(r["sketch"]) for r in build_sketches(wp, ["lang"], "url", spec).collect()}
     assert a == b
-    # filters still verified on the row-group path
-    fa = build_sketches_parquet(spark, d, [], "url", spec, filter=[("lang", "=", "en")]).collect()[0]
+    # filters still verified on the row-group path — BOTH contract forms
+    # (tuple list and ds.Expression; ADVICE fix)
+    import pyarrow.dataset as ds
+
     fb = build_sketches(wp.filter(F.col("lang") == "en"), [], "url", spec).collect()[0]
-    assert bytes(fa["sketch"]) == bytes(fb["sketch"]) and fa["n_rows"] == fb["n_rows"]
+    for filt in ([("lang", "=", "en")], ds.field("lang") == "en"):
+        fa = build_sketches_parquet(spark, d, [], "url", spec, filter=filt).collect()[0]
+        assert bytes(fa["sketch"]) == bytes(fb["sketch"]) and fa["n_rows"] == fb["n_rows"]
