@@ -60,7 +60,7 @@ class HlldError(Exception):
 
 
 class _Set:
-    __slots__ = ("name", "precision", "eps", "in_memory", "registers", "dirty", "size_cache", "page_ins", "page_outs", "sets")
+    __slots__ = ("name", "precision", "eps", "in_memory", "registers", "dirty", "size_cache", "page_ins", "page_outs", "sets", "is_hot")
 
     def __init__(self, name, precision, eps, in_memory):
         self.name = name
@@ -73,6 +73,7 @@ class _Set:
         self.page_ins = 0
         self.page_outs = 0
         self.sets = 0  # set-op counter (src/set.h:15-19)
+        self.is_hot = True  # new sets are hot (set_manager.c add_set is_hot=1)
 
 
 class SketchRegistry:
@@ -201,6 +202,7 @@ class SketchRegistry:
         s = self._sets.get(name)
         if s is None or name in self._pending_delete:
             raise HlldError(SET_NOT_FOUND)
+        s.is_hot = True  # any access marks hot (set_manager.c take_set)
         return s
 
     def _fault_in(self, s: _Set) -> None:
@@ -325,6 +327,29 @@ class SketchRegistry:
             raise HlldError(NOT_PROXIED)  # src/set_manager.c:475-501
         del self._sets[name]  # files stay on disk; re-create rediscovers
         return DONE
+
+    def cold_sweep(self) -> list[str]:
+        """Unmap sets untouched since the previous sweep — the cold-unmap
+        background thread's pass (src/background.c:152-194 +
+        set_manager.c:779-806): a hot set has its flag cleared and is
+        skipped; an already-proxied set is skipped; anything else is
+        flushed and paged out. Two sweeps without access ⇒ unmapped.
+        Returns the names unmapped."""
+        unmapped = []
+        for name, s in list(self._sets.items()):
+            if name in self._pending_delete:
+                continue
+            if s.is_hot:
+                s.is_hot = False
+                continue
+            if s.registers is None or s.in_memory:
+                continue  # already proxied / never persisted
+            self.flush(name)
+            s.registers = None
+            s.page_outs += 1
+            s.is_hot = False  # close() path re-marks hot via _require
+            unmapped.append(name)
+        return unmapped
 
     # --- C9 flush ------------------------------------------------------------------
 
