@@ -59,12 +59,29 @@ def _q_exact_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 def _q_hll_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group HLL distinct-users — value-exact oracle via the bound
+    pattern folded into the query (VERDICT r1 task 1d): every group must
+    satisfy |estimate − exact|/exact ≤ 3σ (hll_in_bound TRUE for all),
+    and n_rows is the sketch pipeline's exact row accounting."""
     _ensure_shipped(spark)
+    from hlld_spark.core import hll as hll_core
     from hlld_spark.core.accumulator import HllSpec
     from hlld_spark.operators.sketch import distinct_count
 
+    p = 14
     ev = _load(spark, sf_dir, "events")
-    return distinct_count(ev, ["event_type"], "user_id", HllSpec(precision=14)).orderBy("event_type")
+    est = distinct_count(ev, ["event_type"], "user_id", HllSpec(precision=p))
+    exact = ev.groupBy("event_type").agg(F.countDistinct("user_id").alias("__exact"))
+    bound = 3 * hll_core.error_for_precision(p)
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            (F.abs(F.col("estimate") - F.col("__exact")) / F.col("__exact") <= bound).alias("hll_in_bound"),
+            "n_rows",
+        )
+        .orderBy("event_type")
+    )
 
 
 def _q_hll_rowcount_plumbing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,19 +250,31 @@ def _q_cms_undercount_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_bloom_membership_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filters have no false negatives: inserted user_ids that fail
-    the membership probe (must be empty)."""
+    the membership probe (must be empty). The probe itself is
+    DISTRIBUTED (VERDICT r1 task 8): the merged filter (a few KB)
+    broadcasts as a closure constant and every partition probes its own
+    ids via mapInPandas — no driver-side id collection."""
     _ensure_shipped(spark)
+    import pandas as pd
+
     from hlld_spark.core.accumulator import deserialize_any
     from hlld_spark.core.bloom import BloomSpec
     from hlld_spark.operators.sketch import build_sketches
 
     ev = _load(spark, sf_dir, "events").withColumn("uid", F.col("user_id").cast("string"))
     sk = build_sketches(ev, [], "uid", BloomSpec.for_capacity(20000, 0.01)).collect()
-    acc, state, spec = deserialize_any(bytes(sk[0]["sketch"]))
-    ids = [r["uid"] for r in ev.select("uid").distinct().collect()]
-    ok = acc.contains(state, ids, spec)
-    missing = [i for i, o in zip(ids, ok) if not o]
-    return spark.createDataFrame([(m,) for m in missing], "uid string")
+    blob = bytes(sk[0]["sketch"])
+
+    def probe(batches):
+        import numpy as np
+
+        acc, state, spec = deserialize_any(blob)
+        for pdf in batches:
+            ok = np.asarray(acc.contains(state, pdf["uid"].tolist(), spec), dtype=bool)
+            if not ok.all():
+                yield pdf[~ok]
+
+    return ev.select("uid").distinct().mapInPandas(probe, schema="uid string")
 
 
 def _q_quantile_bound_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,13 +311,34 @@ def _q_dedup_exact_keepers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_exact(d, "doc_id", ["text"]).select("doc_id", "lang").orderBy("doc_id")
 
 
-def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup labels (rows-only: hash family not SQL-expressible)."""
+def _q_minhash_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH recall gate with an exact (empty) oracle: every
+    document gets a deterministic near-copy (short suffix ⇒ true Jaccard
+    ≥ ~0.85 even for the shortest 48-char docs); the violation set is
+    the source docs whose near-copy did NOT land in their cluster after
+    LSH + pairwise verify + pointer-jump closure. Empty ⇔ 100% recall on
+    the known near-dup pairs (VERDICT r1 task 1b)."""
     _ensure_shipped(spark)
     from hlld_spark.operators.dedup import minhash_lsh_dedup
 
-    d = _load(spark, sf_dir, "documents")
-    return minhash_lsh_dedup(d, "doc_id", "text", num_perm=64, bands=16).orderBy("id")
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.select((F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text"))
+    corpus = d.unionAll(pert)
+    out = minhash_lsh_dedup(
+        corpus, "doc_id", "text", num_perm=128, bands=32, threshold=0.7, closure_rounds=3
+    ).cache()
+    pairs = out.filter(F.col("id") >= 100000).select(
+        (F.col("id") - 100000).alias("doc_id"), F.col("keeper_id").alias("k_pert")
+    )
+    srcs = out.filter(F.col("id") < 100000).select(
+        F.col("id").alias("doc_id"), F.col("keeper_id").alias("k_src")
+    )
+    return (
+        pairs.join(srcs, "doc_id")
+        .filter(F.col("k_pert") != F.col("k_src"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,24 +370,137 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Heuristic language-ID over documents (rows-only; profile-based)."""
+def _lang_corpus(spark: SparkSession, n_per_lang: int = 50, seed: int = 11) -> DataFrame:
+    """Deterministic labeled multilingual corpus covering all 10
+    supported languages (marker-profile langs from their own function
+    words, ru/ja/zh from script characters). The documents fixture's
+    `lang` column labels English-like synthetic text, so it cannot
+    ground-truth a language identifier; this corpus can."""
+    import numpy as np
+
+    from hlld_spark.operators.text import _LANG_MARKERS
+
+    rng = np.random.RandomState(seed)
+    script_words = {
+        "ru": ["собака", "кошка", "бегут", "полю", "возле", "дома"],
+        "ja": ["いぬ", "ねこ", "はしる", "そら", "やま", "かわ"],
+        "zh": ["狗", "猫", "奔跑", "田野", "山水", "句子"],
+    }
+    rows = []
+    doc_id = 0
+    for lang in list(_LANG_MARKERS):
+        words = (
+            [m.strip() for m in _LANG_MARKERS[lang]] if _LANG_MARKERS[lang] else script_words[lang]
+        )
+        for _ in range(n_per_lang):
+            k = 8 + int(rng.randint(24))
+            toks = [words[int(rng.randint(len(words)))] for _ in range(k)]
+            rows.append((doc_id, lang, " ".join(toks)))
+            doc_id += 1
+    return spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+
+def _q_lang_id_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID exactness gate with an exact (empty) oracle: docs of
+    the labeled corpus where lang_id disagrees with the ground-truth
+    label (VERDICT r1 task 1c). Empty ⇔ the identifier nails all 10
+    languages on their characteristic text."""
     _ensure_shipped(spark)
     from hlld_spark.operators.text import with_lang_id
 
-    d = _load(spark, sf_dir, "documents")
-    return with_lang_id(d, "text").select("doc_id", "lang", "lang_id").orderBy("doc_id")
+    d = _lang_corpus(spark)
+    return (
+        with_lang_id(d, "text")
+        .filter(F.col("lang_id") != F.col("lang"))
+        .select("doc_id", "lang", "lang_id")
+        .orderBy("doc_id")
+    )
+
+
+_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing: deterministic asset table → metadata parse +
-    image features (rows-only; binary fixtures not SQL-expressible)."""
+    """Multimodal metadata parsing + feature extraction with a FULL exact
+    oracle (VERDICT r1 task 1a): the deterministic asset fixture is
+    materialized to parquet including ground-truth metadata columns; the
+    engine parses width/height/... from the BINARY HEADER ONLY and the
+    oracle reads the stored truth + OCTET_LENGTH — any parsing bug
+    hash-mismatches."""
     _ensure_shipped(spark)
-    from hlld_spark.operators.multimodal import extract_image_features, generate_assets, parse_metadata
+    from hlld_spark.operators.multimodal import (
+        extract_image_features,
+        parse_metadata,
+        write_assets_fixture,
+    )
 
-    assets = generate_assets(spark, 200)
+    write_assets_fixture(_ASSETS_FIXTURE, 200)
+    assets = spark.read.parquet(_ASSETS_FIXTURE).select("asset_id", "kind", "payload")
     feat = extract_image_features(parse_metadata(assets))
-    return feat.select("asset_id", "kind", F.col("meta.payload_bytes").alias("payload_bytes")).orderBy("asset_id")
+    return feat.select(
+        "asset_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_samples").alias("n_samples"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("meta.payload_bytes").alias("payload_bytes"),
+        F.when(F.col("features").isNotNull(), F.size("features")).alias("n_features"),
+    ).orderBy("asset_id")
+
+
+def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured-Streaming event-time gate with an exact oracle
+    (VERDICT r1 task 9): events replayed as ≥3 file micro-batches
+    (maxFilesPerTrigger=1) through windowed_sketch_stream (1-day
+    tumbling windows); the final per-(day, event_type) n_rows from the
+    stateful operator must equal the batch GROUP BY count."""
+    import os
+    import tempfile
+
+    _ensure_shipped(spark)
+    from hlld_spark.core.accumulator import HllSpec
+    from hlld_spark.streaming.sketch_stream import windowed_sketch_stream
+
+    ev = _load(spark, sf_dir, "events")
+    src = "/tmp/hlld_spark_fixtures/events_stream_" + os.path.basename(sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        # three deterministic chunks = three micro-batches
+        b = F.pmod(F.xxhash64("user_id", "ts"), F.lit(3))
+        for i in range(3):
+            ev.filter(b == i).coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        # events.ts is TIMESTAMP_NTZ; watermarks require an instant type
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = windowed_sketch_stream(
+        stream, "ts", ["event_type"], "user_id", HllSpec(12), window="1 day", watermark="60 days"
+    )
+    ckpt = tempfile.mkdtemp(prefix="hlld_stream_ck_")
+    qname = f"ev_win_{os.path.basename(ckpt)[-8:]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected ≥3 micro-batches, got {n_batches}"
+    mem = spark.sql(f"select * from {qname}")
+    # update mode re-emits per batch; the final (max) n_rows is the total
+    return (
+        mem.groupBy(F.to_date("window_start").alias("day"), "event_type")
+        .agg(F.max("n_rows").alias("n_rows"))
+        .orderBy("day", "event_type")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -360,11 +523,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_membership_violations": _q_bloom_membership_violations,
         "quantile_bound_violations": _q_quantile_bound_violations,
         "dedup_exact_keepers": _q_dedup_exact_keepers,
-        "minhash_dedup": _q_minhash_dedup,
+        "minhash_recall_violations": _q_minhash_recall_violations,
         "cosine_topk": _q_cosine_topk,
         "text_stats": _q_text_stats,
-        "lang_id": _q_lang_id,
+        "lang_id_disagreement": _q_lang_id_disagreement,
         "multimodal_features": _q_multimodal_features,
+        "streaming_windowed_counts": _q_streaming_windowed_counts,
     }
 
 
@@ -376,7 +540,10 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type ORDER BY event_type
         """,
-        # hll_users_by_type: estimate not SQL-expressible → rows-only check
+        "hll_users_by_type": """
+            SELECT event_type, TRUE AS hll_in_bound, COUNT(user_id) AS n_rows
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
         "hll_rowcount_plumbing": """
             SELECT event_type, COUNT(user_id) AS n_rows
             FROM events GROUP BY event_type ORDER BY event_type
@@ -467,7 +634,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
             ORDER BY doc_id
         """,
-        # minhash_dedup: hash family not SQL-expressible → rows-only
+        "minhash_recall_violations": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0
+        """,
         "cosine_topk": """
             SELECT vec_id FROM (
                 SELECT e.vec_id,
@@ -485,6 +654,21 @@ def oracle_sql() -> dict[str, str]:
                    LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[^\\w\\s]', '', 'g')) AS punct_chars
             FROM documents ORDER BY doc_id
         """,
-        # lang_id: heuristic profiles not SQL-expressible → rows-only
-        # multimodal_features: binary fixture format → rows-only
+        "lang_id_disagreement": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+                   CAST(NULL AS VARCHAR) AS lang_id WHERE 1 = 0
+        """,
+        "multimodal_features": f"""
+            SELECT asset_id, kind, width, height, channels, sample_rate, n_samples, n_frames,
+                   OCTET_LENGTH(payload)
+                     - (CASE kind WHEN 'image' THEN 9 WHEN 'audio' THEN 12 ELSE 11 END) AS payload_bytes,
+                   CASE WHEN kind = 'image' THEN 6 END AS n_features
+            FROM read_parquet('{_ASSETS_FIXTURE}')
+            ORDER BY asset_id
+        """,
+        "streaming_windowed_counts": """
+            SELECT CAST(ts AS DATE) AS day, event_type, COUNT(user_id) AS n_rows
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+            ORDER BY day, event_type
+        """,
     }

@@ -66,35 +66,85 @@ def generate_assets(spark: SparkSession, n: int, seed: int = 42, partitions: int
     def gen(batches):
         for pdf in batches:
             ids = pdf["id"].to_numpy().astype(np.uint64)
-            kinds, payloads = [], []
-            for i in ids:
-                r = int(splitmix64(np.array([i ^ np.uint64(seed)], dtype=np.uint64))[0])
-                if r % 3 == 0:
-                    w, h, c = 8 + r % 56, 8 + (r >> 8) % 56, 3
-                    n_px = w * h * c
-                    body = _det_bytes(i, n_px, seed)
-                    payloads.append(_IMG_MAGIC + struct.pack("<HHB", w, h, c) + body)
-                    kinds.append("image")
-                elif r % 3 == 1:
-                    sr = 8000 + (r >> 16) % 8 * 1000
-                    ns = 64 + (r >> 24) % 192
-                    body = _det_bytes(i, ns * 2, seed)
-                    payloads.append(_AUD_MAGIC + struct.pack("<II", sr, ns) + body)
-                    kinds.append("audio")
-                else:
-                    w, h, c = 8 + r % 24, 8 + (r >> 8) % 24, 3
-                    nf = 4 + (r >> 16) % 28
-                    body = _det_bytes(i, w * h * c * nf, seed)
-                    payloads.append(_VID_MAGIC + struct.pack("<HHBH", w, h, c, nf) + body)
-                    kinds.append("video")
-            yield pd.DataFrame({"asset_id": ids.astype(np.int64), "kind": kinds, "payload": payloads})
+            rows = [_gen_asset(int(i), seed) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "asset_id": ids.astype(np.int64),
+                    "kind": [r["kind"] for r in rows],
+                    "payload": [r["payload"] for r in rows],
+                }
+            )
 
     return spark.range(0, n, numPartitions=parts).mapInPandas(gen, schema=schema)
 
 
+def _gen_asset(i: int, seed: int) -> dict:
+    """One deterministic asset row WITH ground-truth metadata columns —
+    the single source of truth shared by generate_assets and
+    write_assets_fixture (so the parquet fixture's truth columns are
+    exactly what the payload header encodes)."""
+    r = int(splitmix64(np.array([np.uint64(i) ^ np.uint64(seed)], dtype=np.uint64))[0])
+    row = {
+        "asset_id": int(i), "kind": None, "payload": None,
+        "width": None, "height": None, "channels": None,
+        "sample_rate": None, "n_samples": None, "n_frames": None,
+    }
+    if r % 3 == 0:
+        w, h, c = 8 + r % 56, 8 + (r >> 8) % 56, 3
+        body = _det_bytes(i, w * h * c, seed)
+        row.update(kind="image", width=w, height=h, channels=c,
+                   payload=_IMG_MAGIC + struct.pack("<HHB", w, h, c) + body)
+    elif r % 3 == 1:
+        sr = 8000 + (r >> 16) % 8 * 1000
+        ns = 64 + (r >> 24) % 192
+        body = _det_bytes(i, ns * 2, seed)
+        row.update(kind="audio", sample_rate=sr, n_samples=ns,
+                   payload=_AUD_MAGIC + struct.pack("<II", sr, ns) + body)
+    else:
+        w, h, c = 8 + r % 24, 8 + (r >> 8) % 24, 3
+        nf = 4 + (r >> 16) % 28
+        body = _det_bytes(i, w * h * c * nf, seed)
+        row.update(kind="video", width=w, height=h, channels=c, n_frames=nf,
+                   payload=_VID_MAGIC + struct.pack("<HHBH", w, h, c, nf) + body)
+    return row
+
+
+def write_assets_fixture(path: str, n: int, seed: int = 42) -> str:
+    """Materialize the deterministic asset fixture to ONE parquet file
+    including the ground-truth metadata columns, so a SQL oracle can
+    check the engine's binary-header parsing against stored truth
+    (width/height/... from the fixture vs parse_metadata(payload)).
+    Idempotent: skips the write when the file already exists."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = [_gen_asset(i, seed) for i in range(n)]
+    cols = {
+        "asset_id": pa.array([r["asset_id"] for r in rows], pa.int64()),
+        "kind": pa.array([r["kind"] for r in rows], pa.string()),
+        "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        "width": pa.array([r["width"] for r in rows], pa.int32()),
+        "height": pa.array([r["height"] for r in rows], pa.int32()),
+        "channels": pa.array([r["channels"] for r in rows], pa.int32()),
+        "sample_rate": pa.array([r["sample_rate"] for r in rows], pa.int32()),
+        "n_samples": pa.array([r["n_samples"] for r in rows], pa.int32()),
+        "n_frames": pa.array([r["n_frames"] for r in rows], pa.int32()),
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def _det_bytes(asset_id: int, n: int, seed: int) -> bytes:
     words = (n + 7) // 8
-    idx = np.arange(words, dtype=np.uint64) + np.uint64(asset_id) * np.uint64(0x9E3779B97F4A7C15)
+    off = (int(asset_id) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF  # explicit u64 wrap
+    idx = np.arange(words, dtype=np.uint64) + np.uint64(off)
     return splitmix64(idx ^ np.uint64(seed)).tobytes()[:n]
 
 
