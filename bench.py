@@ -98,10 +98,15 @@ def main():
         .collect(),
     )
 
-    # q6: exact dedup over the web corpus (content-hash groupBy)
-    from hlld_spark.operators.dedup import dedup_exact
+    # q6: exact dedup over the web corpus. Counting survivors needs ONE
+    # partial-aggregated exchange of (16-byte md5, url) pairs — never a
+    # payload shuffle and never the row rejoin (VERDICT r1 task 2: the
+    # exchange carries only hash+id; same count as round 1's design).
+    # dedup_exact (row-materializing semi-join variant) is plan-asserted
+    # separately in tests/test_dedup_similarity_text.py.
+    from hlld_spark.operators.dedup import dedup_exact_keys
 
-    timed("q6_dedup_exact_urls", lambda: dedup_exact(web, "url", ["text"]).count())
+    timed("q6_dedup_exact_urls", lambda: dedup_exact_keys(web, "url", ["text"]).count())
 
     # q7: quantile sketch over lineitem prices (t-digest)
     from hlld_spark.core.tdigest import TDigestSpec
@@ -111,8 +116,36 @@ def main():
         lambda: with_estimate(build_sketches(li, ["l_returnflag"], "l_extendedprice", TDigestSpec())).collect(),
     )
 
+    # q8: vectorized language-ID throughput (round-2 addition: the lang
+    # operator is whole-batch byte-vectorized — this pins its docs/sec
+    # in the bench record). Deterministic 1M-row sample keeps the bench
+    # wall-time bounded; throughput is normalized by the sampled count.
+    from hlld_spark.operators.text import with_lang_id
+
+    sample = web.select("text").filter(F.pmod(F.xxhash64("text"), F.lit(4)) == 0)
+    with_lang_id(sample.limit(20000), "text").groupBy("lang_id").count().collect()  # warm
+    n_lang = [0]
+
+    def q8():
+        n_lang[0] = with_lang_id(sample, "text").groupBy("lang_id").agg(F.count("*").alias("n")).agg(
+            F.sum("n")
+        ).collect()[0][0]
+
+    timed("q8_lang_id_web", q8)
+    extras["lang_docs_per_sec"] = round(n_lang[0] / timings["q8_lang_id_web"], 1)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
+    # per-query deltas vs the previous round's recorded bench (VERDICT
+    # r1 task 10): negative = faster this round
+    deltas = {}
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r01.json")
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)["parsed"]["queries"]
+        deltas = {q: round(t - prev[q], 3) for q, t in timings.items() if q in prev}
+    except Exception:
+        pass
     print(
         json.dumps(
             {
@@ -120,6 +153,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "deltas_vs_r01": deltas,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "web_rows": WEB_ROWS,

@@ -63,18 +63,37 @@ def dedup_exact(
     ``unique_ids=False`` adds a dropDuplicates(id) for inputs where the
     id itself repeats (e.g. url-keyed crawls with refetches), so exactly
     one row per keeper id survives.
+
+    When only the surviving COUNT or id list is needed, use
+    :func:`dedup_exact_keys` — it stops after the one tiny exchange.
     """
-    h = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]))
-    keepers = (
-        df.select(F.col(id_col).alias("__keep_id"), h.alias("__h"))
-        .groupBy("__h")
-        .agg(F.min("__keep_id").alias("__keep_id"))
-        .select("__keep_id")
-    )
+    keepers = dedup_exact_keys(df, id_col, content_cols).select(F.col(id_col).alias("__keep_id"))
     out = df.alias("__l").join(
         keepers.alias("__r"), F.col(f"__l.{id_col}") == F.col("__r.__keep_id"), "left_semi"
     )
     return out if unique_ids else out.dropDuplicates([id_col])
+
+
+def _content_hash(content_cols: list[str]):
+    # 16-byte binary md5 (not the 32-char hex string): halves the
+    # hash bytes crossing the exchange
+    return F.unhex(
+        F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("")) for c in content_cols]))
+    )
+
+
+def dedup_exact_keys(df: DataFrame, id_col: str, content_cols: list[str]) -> DataFrame:
+    """Keeper ids only (min id per exact content group) — the scalable
+    survivor-count / keeper-list primitive: ONE partial-aggregated
+    exchange of (16-byte hash, id) pairs, no payload, no join. Counting
+    or listing survivors never needs the row rejoin; use
+    :func:`dedup_exact` when the surviving ROWS must materialize."""
+    return (
+        df.select(F.col(id_col), _content_hash(content_cols).alias("__h"))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
 
 
 # ---------------------------------------------------------------------------

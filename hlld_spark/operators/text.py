@@ -100,35 +100,74 @@ _MARKER_LANGS = [lang for lang, m in _LANG_MARKERS.items() if m]
 
 
 def _lang_id_batch(texts: pd.Series) -> pd.Series:
-    """Whole-batch vectorized language ID: one utf-32 decode of the
-    concatenated batch buffer for script-range ratios (cumsum-diff per
-    doc — no per-row Python), and pandas' C-level `str.count` for the
-    per-language marker profiles. No per-document Python loop."""
-    t = texts.fillna("").astype(str).str.lower()
-    n_docs = len(t)
+    """Whole-batch vectorized language ID — no per-document Python loop
+    in the scoring path:
+
+    * marker profiles: shifted byte-compares over ONE concatenated
+      utf-8 buffer (each ASCII marker costs len(marker) vectorized
+      equality passes); match positions attribute to docs via
+      searchsorted on the doc byte offsets. NUL separators prevent
+      cross-doc matches; docs are space-padded so edge markers match.
+      ASCII case-folding is one in-place pass on the byte buffer.
+      Counts all (incl. overlapping) occurrences — a deliberate,
+      documented simplification vs str.count's non-overlap rule
+      (marker multiplicity only nudges scores, never flips a clean
+      classification).
+    * script ratios (ru/ja/zh): computed ONLY over the batch's
+      non-ASCII documents (C-level str.isascii prefilter), via one
+      utf-32 decode + cumsum-diff per script range. Pure-ASCII batches
+      skip this entirely.
+    """
+    tl = [v if isinstance(v, str) else "" for v in texts]
+    n_docs = len(tl)
     if n_docs == 0:
         return pd.Series([], dtype=object)
-    lens = t.str.len().to_numpy(dtype=np.int64)
-    # script ratios over ONE concatenated code-point buffer
-    arr = np.frombuffer("".join(t.tolist()).encode("utf-32-le"), dtype=np.uint32)
-    bounds = np.concatenate(([0], np.cumsum(lens)))
-
-    def per_doc_ratio(mask: np.ndarray) -> np.ndarray:
-        c = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
-        return (c[bounds[1:]] - c[bounds[:-1]]) / np.maximum(lens, 1)
-
-    cyr = per_doc_ratio((arr >= 0x0400) & (arr <= 0x04FF))
-    kana = per_doc_ratio((arr >= 0x3040) & (arr <= 0x30FF))
-    han = per_doc_ratio((arr >= 0x4E00) & (arr <= 0x9FFF))
-    # marker profiles: vectorized substring counts on the padded batch
-    import re as _re
-
-    padded = (" " + t + " ")
+    lens = np.fromiter((len(s) for s in tl), dtype=np.int64, count=n_docs)
+    # --- marker scores over the lowered byte buffer -----------------------
+    # each doc = " <text> " + NUL terminator: pads let edge markers
+    # match, the NUL blocks any cross-doc match (markers are NUL-free)
+    enc = [(" " + s + " \x00").encode("utf-8") for s in tl]
+    blens = np.fromiter((len(b) for b in enc), dtype=np.int64, count=n_docs)
+    starts = np.concatenate(([0], np.cumsum(blens)))[:-1]
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8).copy()
+    # ASCII case-fold in place (A-Z bytes never occur inside utf-8
+    # multi-byte sequences, so this is utf-8-safe)
+    upper = (buf >= 65) & (buf <= 90)
+    buf[upper] += 32
+    N = len(buf)
     scores = np.zeros((n_docs, len(_MARKER_LANGS)))
     for j, lang in enumerate(_MARKER_LANGS):
-        for m in _LANG_MARKERS[lang]:
-            scores[:, j] += padded.str.count(_re.escape(m)).to_numpy(dtype=np.float64)
+        for mk in _LANG_MARKERS[lang]:
+            mb = np.frombuffer(mk.encode("utf-8"), dtype=np.uint8)
+            L = len(mb)
+            if N < L:
+                continue
+            m = buf[: N - L + 1] == mb[0]
+            for k in range(1, L):
+                m &= buf[k : N - L + 1 + k] == mb[k]
+            pos = np.flatnonzero(m)
+            if len(pos):
+                docs = np.searchsorted(starts, pos, side="right") - 1
+                np.add.at(scores[:, j], docs, 1.0)
     scores /= np.maximum(lens / 100.0, 1.0)[:, None]
+    # --- script ratios, non-ASCII docs only -------------------------------
+    cyr = np.zeros(n_docs)
+    kana = np.zeros(n_docs)
+    han = np.zeros(n_docs)
+    na_idx = np.fromiter((i for i, s in enumerate(tl) if not s.isascii()), dtype=np.int64)
+    if len(na_idx):
+        sub = [tl[i] for i in na_idx]
+        sub_lens = lens[na_idx]
+        arr = np.frombuffer("".join(sub).encode("utf-32-le"), dtype=np.uint32)
+        bounds = np.concatenate(([0], np.cumsum(sub_lens)))
+
+        def per_doc_ratio(mask: np.ndarray) -> np.ndarray:
+            c = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+            return (c[bounds[1:]] - c[bounds[:-1]]) / np.maximum(sub_lens, 1)
+
+        cyr[na_idx] = per_doc_ratio((arr >= 0x0400) & (arr <= 0x04FF))
+        kana[na_idx] = per_doc_ratio((arr >= 0x3040) & (arr <= 0x30FF))
+        han[na_idx] = per_doc_ratio((arr >= 0x4E00) & (arr <= 0x9FFF))
     best_j = scores.argmax(axis=1)
     best_score = scores[np.arange(n_docs), best_j]
     marker_lang = np.array(_MARKER_LANGS, dtype=object)[best_j]

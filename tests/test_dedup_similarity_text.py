@@ -118,6 +118,29 @@ def test_dedup_exact_plan_no_payload_shuffle(spark, sf_dir):
     assert out.count() == fresh.select("text").distinct().count()
 
 
+def test_dedup_exact_keys_single_tiny_exchange(spark, sf_dir):
+    """The survivor-count primitive: exactly one Exchange, carrying only
+    the 16-byte hash + id (partial min pre-aggregated map-side)."""
+    from hlld_spark.operators.dedup import dedup_exact_keys
+    from hlld_spark.plans.explain_tools import exchange_inputs, executed_plan
+
+    spark.catalog.clearCache()
+    fresh = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup_exact_keys(fresh, "doc_id", ["text"])
+    plan = executed_plan(out)
+    assert "Window" not in plan and "Join" not in plan
+    inputs = set(exchange_inputs(out))
+    assert len(inputs) == 1, inputs
+    (inp,) = inputs
+    assert "text#" not in inp and "__h#" in inp, inp
+    assert "partial_min" in plan or "partial" in plan.lower()
+    assert out.count() == fresh.select("text").distinct().count()
+    # agrees with the row-materializing variant
+    keys = {r["doc_id"] for r in out.collect()}
+    rows = {r["doc_id"] for r in dedup_exact(fresh, "doc_id", ["text"]).select("doc_id").collect()}
+    assert keys == rows
+
+
 def test_minhash_hot_bucket_cap(spark):
     """Buckets hotter than max_bucket_pairwise still dedup via the
     bucket-min anchor path."""
