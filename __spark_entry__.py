@@ -451,6 +451,17 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def _q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy hitters with EXACT counts (Misra–Gries candidate superset
+    → broadcast recount): every event_type with frequency ≥ 10% of
+    events. Value-exact oracle: plain GROUP BY ... HAVING."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.frequent import heavy_hitters
+
+    ev = _load(spark, sf_dir, "events")
+    return heavy_hitters(ev, "event_type", phi=0.1).orderBy("event_type")
+
+
 def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming event-time gate with an exact oracle
     (VERDICT r1 task 9): events replayed as ≥3 file micro-batches
@@ -528,6 +539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_id_disagreement": _q_lang_id_disagreement,
         "multimodal_features": _q_multimodal_features,
+        "heavy_hitters_events": _q_heavy_hitters_events,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
     }
 
@@ -665,6 +677,12 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN kind = 'image' THEN 6 END AS n_features
             FROM read_parquet('{_ASSETS_FIXTURE}')
             ORDER BY asset_id
+        """,
+        "heavy_hitters_events": """
+            SELECT event_type, COUNT(*) AS exact_count
+            FROM events GROUP BY event_type
+            HAVING COUNT(*) >= CEIL(0.1 * (SELECT COUNT(event_type) FROM events))
+            ORDER BY event_type
         """,
         "streaming_windowed_counts": """
             SELECT CAST(ts AS DATE) AS day, event_type, COUNT(user_id) AS n_rows

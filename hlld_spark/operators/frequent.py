@@ -1,0 +1,125 @@
+"""Frequent-items (heavy hitters) over arbitrary-cardinality columns.
+
+The training-data-pipeline companion to the sketch suite: find every
+item whose frequency is ≥ φ·N (hot urls, boilerplate n-grams, dominant
+hosts) with EXACT final counts, without ever shuffling row-level data.
+
+Two-stage shape (Misra–Gries 1982 summaries + exact recount):
+
+    stage 1  mapInArrow   — one Misra–Gries summary of capacity c per
+                            partition (np.unique per Arrow batch; the
+                            MG decrement runs on the ≤(c + batch-distinct)
+                            dict, never per row). Emits ≤ c candidate
+                            items per partition.
+    stage 2  broadcast    — the candidate union is bounded by
+                            partitions × c (a few KB of keys), so the
+                            exact recount is a broadcast semi-join +
+                            groupBy count: the big side never shuffles.
+
+Guarantee (pigeonhole over the partition counts): any item with global
+count ≥ φ·N has local share ≥ φ·N_p in at least one partition, and a
+capacity-c Misra–Gries summary retains every item with local count >
+N_p/c — so with c ≥ ceil(1/φ) the candidate set is a SUPERSET of the
+true φ-heavy set (no false negatives). The exact recount then removes
+all false positives, making the final answer exact.
+
+Reference context: hlld has no frequent-items command; this implements
+the standard mergeable-summary pattern (same two-phase shape as
+operators/sketch.py) cited from the public Misra–Gries / SpaceSaving
+literature.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+
+def _mg_update(counters: dict, items: np.ndarray, counts: np.ndarray, capacity: int) -> None:
+    """Merge batch (item, count) pairs into a Misra–Gries dict of size
+    ≤ capacity. Vectorized per batch: the only Python-level loop is over
+    the batch's DISTINCT items (np.unique output), not rows."""
+    for it, ct in zip(items.tolist(), counts.tolist()):
+        counters[it] = counters.get(it, 0) + int(ct)
+    excess = len(counters) - capacity
+    if excess > 0:
+        # decrement all by the excess-th smallest count (batch MG step:
+        # equivalent to `excess` unit decrement rounds)
+        vals = np.fromiter(counters.values(), dtype=np.int64, count=len(counters))
+        kth = np.partition(vals, excess - 1)[excess - 1]
+        for it in list(counters):
+            c = counters[it] - int(kth)
+            if c <= 0:
+                del counters[it]
+            else:
+                counters[it] = c
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi: float = 0.01,
+    capacity: int | None = None,
+    out_count: str = "exact_count",
+) -> DataFrame:
+    """All items of ``col`` with frequency ≥ φ·N, with exact counts.
+
+    ``capacity`` defaults to ceil(2/φ) (2× the guarantee bound, so
+    near-threshold items survive partition-local decrements with slack).
+    Returns (col, exact_count), exact by construction: Misra–Gries
+    candidates (superset guarantee) → broadcast recount (exact) →
+    threshold filter.
+    """
+    if not (0 < phi < 1):
+        raise ValueError("phi must be in (0, 1)")
+    cap = capacity or int(np.ceil(2.0 / phi))
+    in_field = df.schema[col]
+    cand_schema = StructType([in_field, StructField("__mg_count", LongType(), False)])
+
+    def summarize(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        counters: dict = {}
+        for rb in batches:
+            v = rb.column(rb.schema.get_field_index(col))
+            if v.null_count:
+                v = v.drop_null()
+            if len(v) == 0:
+                continue
+            vc = pc.value_counts(v)
+            items = np.asarray(vc.field("values").to_pylist(), dtype=object)
+            counts = np.asarray(vc.field("counts").to_pylist(), dtype=np.int64)
+            _mg_update(counters, items, counts, cap)
+        if counters:
+            from pyspark.sql.pandas.types import to_arrow_type
+
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(counters.keys()), type=to_arrow_type(in_field.dataType)),
+                    pa.array(list(counters.values()), type=pa.int64()),
+                ],
+                names=[col, "__mg_count"],
+            )
+
+    candidates = (
+        df.select(col)
+        .mapInArrow(summarize, schema=cand_schema)
+        .groupBy(col)
+        .agg(F.sum("__mg_count").alias("__mg_count"))
+        .select(col)
+    )
+    # exact recount: candidates are bounded (≤ partitions × cap), so the
+    # semi-join broadcasts and the big side never shuffles rows — only
+    # the per-partition partial counts of the ≤|candidates| survivors
+    total = df.select(F.count(F.col(col)).alias("n")).first()["n"]
+    threshold = int(np.ceil(phi * total))
+    exact = (
+        df.join(F.broadcast(candidates), col, "left_semi")
+        .groupBy(col)
+        .agg(F.count("*").alias(out_count))
+        .filter(F.col(out_count) >= threshold)
+    )
+    return exact

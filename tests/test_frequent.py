@@ -1,0 +1,75 @@
+"""Heavy hitters: Misra-Gries candidates + broadcast exact recount."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hlld_spark.operators.frequent import heavy_hitters
+
+pytestmark = pytest.mark.spark
+
+
+def _exact(df, col, phi):
+    total = df.count()
+    thr = int(np.ceil(phi * total))
+    return {
+        r[col]: r["n"]
+        for r in df.groupBy(col).agg(F.count("*").alias("n")).filter(F.col("n") >= thr).collect()
+    }
+
+
+def test_heavy_hitters_zipf_hosts(spark):
+    from hlld_spark.sources.webpages import generate_web_pages
+
+    web = generate_web_pages(spark, 100000, partitions=16).select(
+        F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+    ).cache()
+    got = {r["host"]: r["exact_count"] for r in heavy_hitters(web, "host", phi=0.01).collect()}
+    assert got == _exact(web, "host", 0.01)
+    assert len(got) >= 5  # Zipf head exists
+
+
+def test_heavy_hitters_event_types(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    got = {r["event_type"]: r["exact_count"] for r in heavy_hitters(ev, "event_type", phi=0.1).collect()}
+    assert got == _exact(ev, "event_type", 0.1)
+    assert len(got) == 5
+
+
+def test_heavy_hitters_guarantee_adversarial_split(spark):
+    """A phi-heavy item spread thin across many partitions must be found
+    even at the minimum capacity bound ceil(1/phi) (the Misra-Gries
+    superset guarantee), amid per-partition noise that locally outcounts
+    it."""
+    rows = []
+    # 16 partitions x 600 rows; "hot" appears 50x per partition (= 800
+    # total of 9600 = 8.3%); noise items are partition-local but locally
+    # more frequent than hot's local share
+    for p in range(16):
+        rows += [("hot",)] * 50
+        for j in range(5):
+            rows += [(f"noise-{p}-{j}",)] * 110
+    df = spark.createDataFrame(rows, "item string").repartition(16).cache()
+    phi = 0.05
+    got = {r["item"]: r["exact_count"] for r in heavy_hitters(df, "item", phi=phi, capacity=int(np.ceil(1 / phi))).collect()}
+    assert got == _exact(df, "item", phi)
+    assert "hot" in got and got["hot"] == 800
+
+
+def test_heavy_hitters_long_ids(spark, sf_dir):
+    """Non-string columns flow through (arrow type preserved)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    got = {r["o_custkey"]: r["exact_count"] for r in heavy_hitters(o, "o_custkey", phi=0.002).collect()}
+    assert got == _exact(o, "o_custkey", 0.002)
+
+
+def test_heavy_hitters_plan_no_row_shuffle(spark, sf_dir):
+    """The big side is never exchanged: candidates broadcast into the
+    semi-join; only the bounded survivor counts shuffle."""
+    from hlld_spark.plans.explain_tools import executed_plan
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = heavy_hitters(ev, "event_type", phi=0.1)
+    plan = executed_plan(out)
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
