@@ -69,14 +69,29 @@ with_estimate(
 ).select("lang", F.round("estimate", 1).alias("median_len")).orderBy("lang").show(4)
 
 print("== 7. dedup: exact + MinHash-LSH near-dup")
-print("   rows before:", web.count(), " after exact dedup:", dedup_exact(web, "url", ["text"]).count())
+from hlld_spark.operators.dedup import dedup_exact_keys
+
+print(
+    "   rows before:", web.count(),
+    " surviving docs (one tiny exchange):", dedup_exact_keys(web, "url", ["text"]).count(),
+    " row-materializing variant:", dedup_exact(web, "url", ["text"], unique_ids=False).count(),
+)
 labels = minhash_lsh_dedup(web.limit(5000).withColumn("doc_id", F.monotonically_increasing_id()), "doc_id", "text")
 print("   near-dup labels:", labels.filter("id != keeper_id").count(), "docs mapped to a keeper")
 
-print("== 8. text analysis (pure Catalyst)")
+print("== 8. text analysis (pure Catalyst) + vectorized language ID")
+from hlld_spark.operators.text import with_lang_id
+
 with_quality_score(with_token_counts(web.limit(1000))).select(
     "whitespace_tokens", "bpe_tokens", F.round("quality_score", 3).alias("quality")
 ).show(3)
+with_lang_id(web.limit(20000), "text").groupBy("lang_id").count().orderBy(F.desc("count")).show(3)
+
+print("== 8b. heavy hitters: hosts with >=1% of pages, exact counts")
+from hlld_spark.operators.frequent import heavy_hitters
+
+hosts = web.select(F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+heavy_hitters(hosts, "host", phi=0.01).orderBy(F.desc("exact_count")).show(5, truncate=False)
 
 print("== 9. named sets: registry + wire protocol")
 reg = SketchRegistry(os.path.join(work, "sets"))
