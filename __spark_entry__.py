@@ -462,6 +462,18 @@ def _q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters(ev, "event_type", phi=0.1).orderBy("event_type")
 
 
+def _q_frequent_ngrams_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate detection: token 3-grams with frequency ≥ φ of all
+    3-grams, exact counts — computed WITHOUT exploding n-grams into rows
+    (Misra–Gries candidates + bounded recount, both n-gram passes stay
+    inside the workers). Oracle: the explode-based SQL equivalent."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.frequent import frequent_ngrams
+
+    d = _load(spark, sf_dir, "documents")
+    return frequent_ngrams(d, "text", n=3, phi=0.0002).orderBy("ngram")
+
+
 def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured-Streaming event-time gate with an exact oracle
     (VERDICT r1 task 9): events replayed as ≥3 file micro-batches
@@ -540,6 +552,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_disagreement": _q_lang_id_disagreement,
         "multimodal_features": _q_multimodal_features,
         "heavy_hitters_events": _q_heavy_hitters_events,
+        "frequent_ngrams_documents": _q_frequent_ngrams_documents,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
     }
 
@@ -683,6 +696,19 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY event_type
             HAVING COUNT(*) >= CEIL(0.1 * (SELECT COUNT(event_type) FROM events))
             ORDER BY event_type
+        """,
+        "frequent_ngrams_documents": """
+            WITH toks AS (
+              SELECT regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+            ), grams AS (
+              SELECT UNNEST(list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ngram
+              FROM toks WHERE len(t) >= 3
+            )
+            SELECT ngram, COUNT(*) AS exact_count FROM grams
+            GROUP BY ngram
+            HAVING COUNT(*) >= CEIL(0.0002 * (SELECT COUNT(*) FROM grams))
+            ORDER BY ngram
         """,
         "streaming_windowed_counts": """
             SELECT CAST(ts AS DATE) AS day, event_type, COUNT(user_id) AS n_rows

@@ -123,3 +123,109 @@ def heavy_hitters(
         .filter(F.col(out_count) >= threshold)
     )
     return exact
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    text_col: str,
+    n: int = 3,
+    phi: float = 0.001,
+    capacity: int | None = None,
+    out_count: str = "exact_count",
+) -> DataFrame:
+    """Token n-grams occurring ≥ φ·(total n-grams) — exact counts, for
+    boilerplate/template detection in web corpora.
+
+    Never explodes n-grams into rows (a 100 TB corpus would multiply by
+    ~doc_tokens): both passes derive n-grams per Arrow batch inside the
+    worker. Pass 1 runs the same Misra–Gries candidate guarantee as
+    :func:`heavy_hitters` plus the exact total; pass 2 recounts ONLY the
+    broadcast candidate set per partition (dict lookups over the
+    batch's n-gram counts) and sums the bounded partials. The only
+    shuffles carry ≤ partitions × capacity (ngram, count) rows.
+    """
+    if not (0 < phi < 1):
+        raise ValueError("phi must be in (0, 1)")
+    cap = capacity or int(np.ceil(2.0 / phi))
+    fn = n
+
+    def _batch_ngram_counts(texts) -> tuple[np.ndarray, np.ndarray]:
+        """(unique n-grams, counts) for one batch — tokens via C-level
+        str.split, n-gram assembly via zip over the flat token stream
+        with doc-boundary masking."""
+        toks_per_doc = [t.split() if isinstance(t, str) else [] for t in texts]
+        grams: list = []
+        for toks in toks_per_doc:  # per-doc loop; gram assembly is C (join/zip)
+            if len(toks) >= fn:
+                grams.extend(map(" ".join, zip(*(toks[i:] for i in range(fn)))))
+        if not grams:
+            return np.zeros(0, dtype=object), np.zeros(0, dtype=np.int64)
+        arr = np.asarray(grams, dtype=object)
+        return np.unique(arr, return_counts=True)
+
+    sum_schema = StructType(
+        [
+            StructField("ngram", df.schema[text_col].dataType, False),
+            StructField("__mg_count", LongType(), False),
+            StructField("__total", LongType(), False),
+        ]
+    )
+
+    def summarize(batches):
+        import pyarrow as pa
+
+        counters: dict = {}
+        total = 0
+        for rb in batches:
+            texts = rb.column(rb.schema.get_field_index(text_col)).to_pylist()
+            items, counts = _batch_ngram_counts(texts)
+            total += int(counts.sum())
+            if len(items):
+                _mg_update(counters, items, counts, cap)
+        if counters:
+            ks = list(counters.keys())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(ks, type=pa.string()),
+                    pa.array([counters[k] for k in ks], type=pa.int64()),
+                    pa.array([total] + [0] * (len(ks) - 1), type=pa.int64()),
+                ],
+                names=["ngram", "__mg_count", "__total"],
+            )
+
+    summaries = df.select(text_col).mapInArrow(summarize, schema=sum_schema).cache()
+    total = summaries.agg(F.sum("__total")).first()[0] or 0
+    if total == 0:
+        return summaries.select(F.col("ngram"), F.lit(0).cast("long").alias(out_count)).limit(0)
+    cand = [r["ngram"] for r in summaries.select("ngram").distinct().collect()]
+    threshold = int(np.ceil(phi * total))
+    cand_set = set(cand)  # bounded: ≤ partitions × capacity
+
+    recount_schema = StructType(
+        [StructField("ngram", df.schema[text_col].dataType, False), StructField(out_count, LongType(), False)]
+    )
+
+    def recount(batches):
+        import pyarrow as pa
+
+        counts: dict = {k: 0 for k in cand_set}
+        for rb in batches:
+            texts = rb.column(rb.schema.get_field_index(text_col)).to_pylist()
+            items, cts = _batch_ngram_counts(texts)
+            for it, ct in zip(items.tolist(), cts.tolist()):
+                if it in counts:
+                    counts[it] += int(ct)
+        nz = {k: v for k, v in counts.items() if v}
+        if nz:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(list(nz.keys()), type=pa.string()), pa.array(list(nz.values()), type=pa.int64())],
+                names=["ngram", out_count],
+            )
+
+    return (
+        df.select(text_col)
+        .mapInArrow(recount, schema=recount_schema)
+        .groupBy("ngram")
+        .agg(F.sum(out_count).alias(out_count))
+        .filter(F.col(out_count) >= threshold)
+    )

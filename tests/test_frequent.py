@@ -73,3 +73,42 @@ def test_heavy_hitters_plan_no_row_shuffle(spark, sf_dir):
     plan = executed_plan(out)
     assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_frequent_ngrams_boilerplate(spark):
+    """A footer shared by many docs surfaces as frequent 3-grams with
+    exact counts; unique content does not."""
+    from hlld_spark.operators.frequent import frequent_ngrams
+
+    footer = "all rights reserved worldwide"
+    rows = [(f"doc {i} unique words here alpha beta gamma {footer}",) for i in range(200)]
+    rows += [(f"totally different text number {i} with no shared phrasing at all",) for i in range(50)]
+    df = spark.createDataFrame(rows, "text string").repartition(8).cache()
+    got = {r["ngram"]: r["exact_count"] for r in frequent_ngrams(df, "text", n=3, phi=0.01).collect()}
+    assert got.get("all rights reserved") == 200
+    assert got.get("rights reserved worldwide") == 200
+    # exact cross-check against an explode-based computation
+    from pyspark.sql import functions as F2
+
+    toks = df.select(F2.split("text", " ").alias("t"))
+    exploded = toks.select(
+        F2.explode(
+            F2.expr("transform(sequence(0, size(t) - 3), i -> concat_ws(' ', slice(t, i + 1, 3)))")
+        ).alias("ngram")
+    )
+    total = exploded.count()
+    import numpy as np2
+
+    thr = int(np2.ceil(0.01 * total))
+    exact = {
+        r["ngram"]: r["n"]
+        for r in exploded.groupBy("ngram").agg(F2.count("*").alias("n")).filter(F2.col("n") >= thr).collect()
+    }
+    assert got == exact
+
+
+def test_frequent_ngrams_empty_and_short(spark):
+    from hlld_spark.operators.frequent import frequent_ngrams
+
+    df = spark.createDataFrame([("",), ("one two",), (None,)], "text string")
+    assert frequent_ngrams(df, "text", n=3, phi=0.5).count() == 0
