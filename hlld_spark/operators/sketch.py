@@ -322,6 +322,8 @@ def build_sketches_parquet(
     evaluated in the parquet reader (row-group pruning + late
     materialization) on both the whole-file and row-group-split paths.
     """
+    from ..sources.parquet_scan import map_parquet_batches
+
     spec = spec if spec is not None else HllSpec()
     keys = list(keys or [])
     accumulator_for(spec)
@@ -329,71 +331,18 @@ def build_sketches_parquet(
     # key schema from the parquet footer (driver-side, metadata only)
     probe = spark.read.parquet(files[0]).select(*keys, col) if keys else spark.read.parquet(files[0]).select(col)
     schema = _result_schema(probe, keys)
-
-    acc_kind = spec.kind
-    fspec = spec
-    fkeys = keys
-    fcol = col
-    ffilter = filter
-
-    def read_and_build(batches):
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        build = _make_build_partials_arrow(fkeys, fcol, fspec)
-        for rb in batches:
-            paths = rb.column(0).to_pylist()
-            rg_los = rb.column(1).to_pylist()
-            rg_his = rb.column(2).to_pylist()
-            for fp, lo, hi in zip(paths, rg_los, rg_his):
-                # use_threads=False: one core per task slot — pyarrow's
-                # internal pool would oversubscribe when every slot reads
-                if lo < 0:  # whole file
-                    tbl = pq.read_table(fp, columns=fkeys + [fcol], filters=ffilter, use_threads=False)
-                else:  # row-group range split (few-huge-files case):
-                    # dataset-fragment scan so BOTH filter forms (tuple
-                    # list or ds.Expression) get row-group pruning + late
-                    # materialization, same as the whole-file path
-                    import pyarrow.dataset as pds
-
-                    frag = next(iter(pds.dataset(fp, format="parquet").get_fragments()))
-                    sub = frag.subset(row_group_ids=list(range(lo, hi)))
-                    expr = None
-                    if ffilter is not None:
-                        expr = ffilter if isinstance(ffilter, pds.Expression) else _pq_filter_to_expr(ffilter)
-                    tbl = sub.to_table(columns=fkeys + [fcol], filter=expr, use_threads=False)
-                yield from build(tbl.to_batches(batch_rows))
-
-    par = spark.sparkContext.defaultParallelism
-    splits: list[tuple[str, int, int]]
-    if len(files) < par and files_per_task is None:
-        # fewer files than slots (e.g. one giant table file): split each
-        # file by row-group ranges so every slot gets work
-        import pyarrow.parquet as _pq
-
-        splits = []
-        per_file_tasks = max(1, (2 * par) // len(files))
-        for f in files:
-            n_rg = _pq.ParquetFile(f).metadata.num_row_groups
-            step = max(1, (n_rg + per_file_tasks - 1) // per_file_tasks)
-            for lo in range(0, n_rg, step):
-                splits.append((f, lo, min(lo + step, n_rg)))
-        n_tasks = min(len(splits), 2 * par)
-    else:
-        splits = [(f, -1, -1) for f in files]
-        if files_per_task is None:
-            # exactly 2 waves of full-width tasks: balanced (uniform files)
-            # without ragged-last-wave makespan loss or per-file dispatch cost
-            n_tasks = min(len(splits), 2 * par)
-        else:
-            n_tasks = (len(splits) + files_per_task - 1) // files_per_task
-    # parallelize slices directly — no repartition stage/shuffle barrier
-    files_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(splits, n_tasks), "path string, rg_lo int, rg_hi int"
+    # one continuous batch stream per task ⇒ one partial per (task,
+    # group), amortized across all of the task's splits
+    partials = map_parquet_batches(
+        spark,
+        path,
+        _make_build_partials_arrow(keys, col, spec),
+        schema,
+        keys + [col],
+        filter=filter,
+        batch_rows=batch_rows,
+        files_per_task=files_per_task,
     )
-    partials = files_df.mapInArrow(read_and_build, schema=schema)
-    # a second partial-merge pass: read_and_build emits one batch of
-    # partials per file, so pre-combine before the shuffle
     if not keys:
         return partials.coalesce(1).mapInArrow(_merge_all_arrow_factory(), schema=schema)
     return partials.groupBy(*keys).applyInPandas(_make_merge_partials(keys), schema=schema)

@@ -1,0 +1,113 @@
+"""Worker-side parquet scanning as a reusable primitive.
+
+The engine's signature scale path (proven by `build_sketches_parquet`,
+operators/sketch.py): the driver plans file / row-group splits from
+parquet metadata, and each Spark python task reads its splits directly
+with pyarrow — column-pruned, filters pushed into the reader — then
+streams the Arrow batches through a caller-supplied transform. Row data
+NEVER crosses the JVM↔Python Arrow IPC channel, which on this class of
+deployment saturates at a fixed total rate regardless of cores
+(measured ~5.4M rows/s here; BENCH/BASELINE.md). On a real cluster this
+is the Spark 4 Python Data Source / pyiceberg plan_files pattern:
+object store → worker, scan next to the compute.
+
+``map_parquet_batches(spark, path, fn, schema, columns)`` is the
+generic form; `build_sketches_parquet` is its oldest client, and any
+Arrow-batch operator (language ID, tokenization, fingerprinting) can
+ride the same splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def plan_parquet_splits(
+    spark: SparkSession, path: str, files_per_task: int | None = None
+) -> tuple[list[tuple[str, int, int]], int]:
+    """(splits, n_tasks): file-level splits normally; row-group-range
+    splits when there are fewer files than task slots (one giant file
+    still parallelizes). A split is (file, rg_lo, rg_hi) with lo=-1
+    meaning the whole file."""
+    from ..operators.sketch import list_parquet_files
+
+    files = list_parquet_files(path)
+    par = spark.sparkContext.defaultParallelism
+    splits: list[tuple[str, int, int]]
+    if len(files) < par and files_per_task is None:
+        import pyarrow.parquet as _pq
+
+        splits = []
+        per_file_tasks = max(1, (2 * par) // len(files))
+        for f in files:
+            n_rg = _pq.ParquetFile(f).metadata.num_row_groups
+            step = max(1, (n_rg + per_file_tasks - 1) // per_file_tasks)
+            for lo in range(0, n_rg, step):
+                splits.append((f, lo, min(lo + step, n_rg)))
+        n_tasks = min(len(splits), 2 * par)
+    else:
+        splits = [(f, -1, -1) for f in files]
+        if files_per_task is None:
+            # exactly 2 waves of full-width tasks: balanced (uniform
+            # files) without ragged-last-wave makespan loss
+            n_tasks = min(len(splits), 2 * par)
+        else:
+            n_tasks = (len(splits) + files_per_task - 1) // files_per_task
+    return splits, n_tasks
+
+
+def read_split_table(fp: str, lo: int, hi: int, columns: list[str], filter=None):
+    """One split → pyarrow Table, column-pruned + filter-pushed on both
+    the whole-file and row-group paths; `filter` may be a
+    read_table-style tuple list or a pyarrow.dataset Expression."""
+    import pyarrow.dataset as pds
+    import pyarrow.parquet as pq
+
+    if lo < 0:
+        return pq.read_table(fp, columns=columns, filters=filter, use_threads=False)
+    frag = next(iter(pds.dataset(fp, format="parquet").get_fragments()))
+    sub = frag.subset(row_group_ids=list(range(lo, hi)))
+    expr = None
+    if filter is not None:
+        from ..operators.sketch import _pq_filter_to_expr
+
+        expr = filter if isinstance(filter, pds.Expression) else _pq_filter_to_expr(filter)
+    return sub.to_table(columns=columns, filter=expr, use_threads=False)
+
+
+def map_parquet_batches(
+    spark: SparkSession,
+    path: str,
+    fn,
+    schema,
+    columns: list[str],
+    filter=None,
+    batch_rows: int = 32768,
+    files_per_task: int | None = None,
+) -> DataFrame:
+    """Apply ``fn(Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]``
+    to worker-side parquet reads of ``columns`` and return a DataFrame
+    with ``schema``. ``fn`` sees one continuous batch stream per task
+    (all of the task's splits), so per-task state (partial aggregates,
+    summaries) amortizes across splits."""
+    splits, n_tasks = plan_parquet_splits(spark, path, files_per_task)
+    fcols = list(columns)
+    ffilter = filter
+    fbatch = batch_rows
+
+    def task(meta_batches):
+        def gen():
+            for rb in meta_batches:
+                paths = rb.column(0).to_pylist()
+                los = rb.column(1).to_pylist()
+                his = rb.column(2).to_pylist()
+                for fp, lo, hi in zip(paths, los, his):
+                    tbl = read_split_table(fp, lo, hi, fcols, ffilter)
+                    yield from tbl.to_batches(fbatch)
+
+        yield from fn(gen())
+
+    files_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(splits, n_tasks), "path string, rg_lo int, rg_hi int"
+    )
+    return files_df.mapInArrow(task, schema=schema)
