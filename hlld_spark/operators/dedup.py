@@ -208,38 +208,12 @@ def minhash_signature_df(
     return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
 
 
-def minhash_lsh_dedup(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    num_perm: int = 128,
-    bands: int = 16,
-    shingle_k: int = 5,
-    threshold: float = 0.8,
-    closure_rounds: int = 2,
-    max_bucket_pairwise: int = 256,
-) -> DataFrame:
-    """Near-dup clusters via banded MinHash LSH.
-
-    Returns (id, keeper_id, jaccard_est): within each (band, bucket) an
-    ALL-PAIRS signature comparison (one (B × B × perm) equality reduce —
-    signatures are tiny, so this is a cheap matmul-shaped kernel) maps
-    every doc to its smallest-id neighbor with estimated Jaccard ≥
-    threshold; ``closure_rounds`` of pointer jumping then collapse keeper
-    chains (covers transitive near-dup clusters up to 2^rounds links
-    deep). Pairwise — not min-id-only — verification means two near-dups
-    sharing a bucket are paired even when neither matches the bucket's
-    min-id doc. Buckets hotter than ``max_bucket_pairwise`` compare the
-    overflow rows against the bucket min only (degenerate buckets are
-    near-identical content, where min-anchoring is exact).
-
-    Scale shape: rows shuffled are (band_key → id, signature) pairs —
-    band keys are 8-byte hashes, signatures num_perm*8 bytes; no text
-    moves after signature computation.
-    """
+def minhash_bands(sig_df: DataFrame, id_col: str, num_perm: int, bands: int) -> DataFrame:
+    """(band, bucket, id, signature) — one row per (doc, band), the LSH
+    bucket key being the 64-bit hash of the band's signature slice.
+    Deterministic for fixed (num_perm, bands), so band tables computed in
+    DIFFERENT jobs/runs join correctly (the incremental-dedup contract)."""
     rows = num_perm // bands
-    sig_df = minhash_signature_df(df, id_col, text_col, num_perm, shingle_k).cache()
-
     band_schema = StructType(
         [
             StructField("band", LongType(), False),
@@ -271,7 +245,90 @@ def minhash_lsh_dedup(
                 }
             )
 
-    banded = sig_df.mapInPandas(explode_bands, schema=band_schema)
+    return sig_df.mapInPandas(explode_bands, schema=band_schema)
+
+
+def minhash_dedup_against(
+    new_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_sig_df: DataFrame,
+    corpus_id_col: str = "id",
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Incremental crawl dedup: match NEW documents against an EXISTING
+    corpus's persisted signature table (the output of
+    :func:`minhash_signature_df`, typically written to parquet by an
+    earlier run) without touching corpus text or re-signing the corpus.
+
+    Returns (id, match_id, jaccard_est): match_id = the smallest corpus
+    id whose estimated Jaccard ≥ threshold (null ⇒ the new doc is novel).
+
+    Scale shape: both sides band with the SAME deterministic bucket
+    hash, candidates meet via a (band, bucket) equi-join — signatures
+    (num_perm×8 bytes) ride only that join; the per-pair verify is a
+    vectorized equality mean and the final label aggregation is scalar.
+    """
+    if corpus_id_col == id_col:
+        raise ValueError("corpus_id_col must differ from id_col (join disambiguation)")
+    new_sigs = minhash_signature_df(new_df, id_col, text_col, num_perm, shingle_k)
+    nb = minhash_bands(new_sigs, id_col, num_perm, bands).withColumnRenamed("signature", "__sig_n")
+    cb = minhash_bands(
+        corpus_sig_df.select(F.col(corpus_id_col), F.col("signature")), corpus_id_col, num_perm, bands
+    ).withColumnRenamed("signature", "__sig_c")
+    cand = nb.join(cb, ["band", "bucket"])
+
+    @F.pandas_udf(DoubleType())
+    def est_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+        sa = np.stack([np.frombuffer(x, dtype=np.uint64) for x in a])
+        sb = np.stack([np.frombuffer(x, dtype=np.uint64) for x in b])
+        return pd.Series((sa == sb).mean(axis=1))
+
+    scored = (
+        cand.withColumn("jaccard_est", est_udf(F.col("__sig_n"), F.col("__sig_c")))
+        .filter(F.col("jaccard_est") >= threshold)
+        .select(F.col(id_col).alias("id"), F.col(corpus_id_col), "jaccard_est")
+        .groupBy("id")
+        .agg(F.min(corpus_id_col).alias("match_id"), F.max("jaccard_est").alias("jaccard_est"))
+    )
+    all_ids = new_df.select(F.col(id_col).alias("id"))
+    return all_ids.join(scored, "id", "left")
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    closure_rounds: int = 2,
+    max_bucket_pairwise: int = 256,
+) -> DataFrame:
+    """Near-dup clusters via banded MinHash LSH.
+
+    Returns (id, keeper_id, jaccard_est): within each (band, bucket) an
+    ALL-PAIRS signature comparison (one (B × B × perm) equality reduce —
+    signatures are tiny, so this is a cheap matmul-shaped kernel) maps
+    every doc to its smallest-id neighbor with estimated Jaccard ≥
+    threshold; ``closure_rounds`` of pointer jumping then collapse keeper
+    chains (covers transitive near-dup clusters up to 2^rounds links
+    deep). Pairwise — not min-id-only — verification means two near-dups
+    sharing a bucket are paired even when neither matches the bucket's
+    min-id doc. Buckets hotter than ``max_bucket_pairwise`` compare the
+    overflow rows against the bucket min only (degenerate buckets are
+    near-identical content, where min-anchoring is exact).
+
+    Scale shape: rows shuffled are (band_key → id, signature) pairs —
+    band keys are 8-byte hashes, signatures num_perm*8 bytes; no text
+    moves after signature computation.
+    """
+    sig_df = minhash_signature_df(df, id_col, text_col, num_perm, shingle_k).cache()
+    banded = minhash_bands(sig_df, id_col, num_perm, bands)
 
     id_type = sig_df.schema[id_col].dataType
     pair_schema = StructType(

@@ -483,3 +483,30 @@ def test_ann_join_finds_noisy_copies(spark):
     assert len(vec_exchanges) <= 2, vec_exchanges  # only the 2 bucketize sides
     for i in vec_exchanges:  # and never a post-join exchange (both vectors)
         assert not ("__vec_l" in i and "__vec_r" in i), i
+
+
+def test_minhash_dedup_against_persisted_corpus(spark, neardup_docs, tmp_path):
+    """Incremental crawl dedup: new near-copies match their family's
+    corpus doc via a PERSISTED signature table (no corpus re-signing);
+    novel docs come back unmatched."""
+    from hlld_spark.operators.dedup import minhash_dedup_against, minhash_signature_df
+
+    corpus = neardup_docs.filter(F.col("kind") == "orig")
+    sig_path = str(tmp_path / "corpus_sigs")
+    minhash_signature_df(corpus, "doc_id", "text", 128, 5).withColumnRenamed(
+        "doc_id", "corpus_id"
+    ).write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+
+    new = neardup_docs.filter(F.col("kind") != "orig")  # copies + fillers
+    out = minhash_dedup_against(
+        new, "doc_id", "text", stored, corpus_id_col="corpus_id",
+        num_perm=128, bands=32, threshold=0.5,
+    )
+    j = {r["id"]: r["match_id"] for r in out.collect()}
+    fam = {r["doc_id"]: r["family"] for r in neardup_docs.collect()}
+    copies = [r["doc_id"] for r in new.filter(F.col("kind").startswith("copy")).collect()]
+    hit = sum(1 for d in copies if j[d] is not None and fam[j[d]] == fam[d])
+    assert hit / len(copies) > 0.85, f"{hit}/{len(copies)}"
+    fillers = [r["doc_id"] for r in new.filter(F.col("kind") == "filler").collect()]
+    assert sum(1 for d in fillers if j[d] is not None) <= 1
