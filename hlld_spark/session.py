@@ -16,7 +16,23 @@ from pyspark.sql import SparkSession
 
 def ship_package(spark: SparkSession) -> str:
     """Zip hlld_spark and addPyFile it so executors can import the
-    package — the programmatic twin of ``spark-submit --py-files``."""
+    package — the programmatic twin of ``spark-submit --py-files``.
+
+    No-op when a hlld_spark.zip is already registered (the spark-submit
+    --py-files case): Spark rejects re-adding the same filename with
+    different bytes, and the submitted zip already serves the purpose.
+    """
+    existing = []
+    try:
+        existing += list(getattr(spark.sparkContext, "_python_includes", None) or [])
+    except Exception:
+        pass
+    try:
+        existing += [str(f) for f in spark.sparkContext._jsc.sc().listFiles()]
+    except Exception:
+        pass
+    if any(str(f).endswith("hlld_spark.zip") for f in existing):
+        return "already-shipped"
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     zpath = os.path.join(tempfile.mkdtemp(prefix="hlld_spark_py"), "hlld_spark.zip")
     with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
