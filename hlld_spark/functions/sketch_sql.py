@@ -11,6 +11,7 @@ Functions (all pandas UDFs over the self-describing sketch binary):
     sketch_kind(sketch) → string            'hll'/'cms'/'bloom'/...
     sketch_bytes(sketch) → long
     sketch_merge(a, b) → binary             pairwise merge (same kind/spec)
+    sketch_quantile(sketch, q) → double     t-digest/KLL quantile
     hll_error_for_precision(p) → double     error law (O7)
     hll_precision_for_error(eps) → int      inverse (O6)
     hll_bytes_for_precision(p) → long       size law (O8)
@@ -85,6 +86,20 @@ def _sketch_merge(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 @F.pandas_udf(DoubleType())
+def _sketch_quantile(bufs: pd.Series, qs: pd.Series) -> pd.Series:
+    """quantile q of a t-digest/KLL sketch; CMS/Bloom/HLL → error."""
+    out = np.full(len(bufs), np.nan)
+    for i, (b, q) in enumerate(zip(bufs, qs)):
+        if b is None or q is None:
+            continue
+        acc, state, spec = deserialize_any(bytes(b))
+        if not hasattr(acc, "quantile"):
+            raise ValueError(f"sketch kind {acc.kind!r} has no quantiles")
+        out[i] = acc.quantile(state, float(q), spec)
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
 def _error_for_precision(p: pd.Series) -> pd.Series:
     return pd.Series([_hll.error_for_precision(int(x)) for x in p])
 
@@ -105,6 +120,7 @@ def register_sql_functions(spark: SparkSession) -> None:
     spark.udf.register("sketch_kind", _sketch_kind)
     spark.udf.register("sketch_bytes", _sketch_bytes)
     spark.udf.register("sketch_merge", _sketch_merge)
+    spark.udf.register("sketch_quantile", _sketch_quantile)
     spark.udf.register("hll_error_for_precision", _error_for_precision)
     spark.udf.register("hll_precision_for_error", _precision_for_error)
     spark.udf.register("hll_bytes_for_precision", _bytes_for_precision)

@@ -85,3 +85,31 @@ def test_plan_shuffle_carries_sketches_only(spark, docs):
     plan = sk._jdf.queryExecution().executedPlan().toString()
     # the exchange must sit ABOVE the PythonMapInArrow partial build
     assert plan.index("Exchange") < plan.index("MapInArrow") or "AdaptiveSparkPlan" in plan
+
+
+def test_sql_quantile(spark, sf_dir):
+    """sketch_quantile over t-digest and KLL sketch tables from SQL."""
+    from hlld_spark.core.kll import KllSpec
+    from hlld_spark.core.tdigest import TDigestSpec
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = sorted(r["value"] for r in ev.select("value").collect())
+
+    def exact_q(q):
+        return exact[int(q * (len(exact) - 1))]
+
+    for spec, name in ((TDigestSpec(compression=200), "td"), (KllSpec(k=256), "kll")):
+        build_sketches(ev, [], "value", spec).createOrReplaceTempView(f"sk_{name}")
+        row = spark.sql(
+            f"SELECT sketch_quantile(sketch, 0.5) AS med, sketch_quantile(sketch, 0.9) AS p90 FROM sk_{name}"
+        ).first()
+        # rank error within 2%
+        for got, q in ((row["med"], 0.5), (row["p90"], 0.9)):
+            rank = sum(1 for v in exact if v <= got) / len(exact)
+            assert abs(rank - q) <= 0.02, (name, q, rank)
+    # non-quantile sketches raise
+    import pytest as _pt
+
+    build_sketches(ev, [], "user_id", HllSpec(12)).createOrReplaceTempView("sk_h")
+    with _pt.raises(Exception, match="no quantiles|PythonException"):
+        spark.sql("SELECT sketch_quantile(sketch, 0.5) FROM sk_h").collect()
