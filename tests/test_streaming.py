@@ -165,3 +165,37 @@ def test_stream_into_registry(spark, stream_dir, tmp_path):
         ours = reg2._sets[f"urls_{lang}"].registers
         want, _ = hll_core.deserialize(direct[lang])
         assert np.array_equal(ours, want)
+
+
+def test_stream_generic_specs(spark, stream_dir, tmp_path):
+    """The streaming operator is spec-generic: t-digest quantile state
+    flows through the same applyInPandasWithState path. (t-digest
+    compression is insertion-order dependent, so unlike HLL the state is
+    not byte-identical across batchings — the contract is exact n_rows
+    plus rank-accurate quantiles.)"""
+    from hlld_spark.core.accumulator import deserialize_any
+    from hlld_spark.core.tdigest import TDigestSpec
+
+    base_schema = spark.read.parquet(stream_dir).schema
+    batch_df = spark.read.parquet(stream_dir).withColumn("tlen", F.length("text").cast("double"))
+    stream = (
+        spark.readStream.schema(base_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .withColumn("tlen", F.length("text").cast("double"))
+    )
+    spec = TDigestSpec(compression=100)
+    out = sketch_stream(stream, ["lang"], "tlen", spec)
+    result = _run_stream(spark, out, "stream_td", str(tmp_path))
+    pdf = result.toPandas().groupby("lang").last()
+    exact_n = {r["lang"]: r["n"] for r in batch_df.groupBy("lang").agg(F.count("tlen").alias("n")).collect()}
+    assert set(pdf.index) == set(exact_n)
+    for lang, n in exact_n.items():
+        assert pdf.loc[lang, "n_rows"] == n
+        acc, state, sp = deserialize_any(bytes(pdf.loc[lang, "sketch"]))
+        med = acc.quantile(state, 0.5, sp)
+        vals = sorted(
+            r["tlen"] for r in batch_df.filter(F.col("lang") == lang).select("tlen").collect()
+        )
+        rank = sum(1 for v in vals if v <= med) / len(vals)
+        assert abs(rank - 0.5) <= 0.05, (lang, rank)
