@@ -510,3 +510,26 @@ def test_minhash_dedup_against_persisted_corpus(spark, neardup_docs, tmp_path):
     assert hit / len(copies) > 0.85, f"{hit}/{len(copies)}"
     fillers = [r["doc_id"] for r in new.filter(F.col("kind") == "filler").collect()]
     assert sum(1 for d in fillers if j[d] is not None) <= 1
+
+
+def test_unicode_robustness_lang_and_minhash(spark):
+    """Astral-plane emoji, CJK, mixed scripts: byte-level kernels stay
+    consistent (utf-8 marker scan, utf-32 script ratios, shingle hashes
+    deterministic across batch shapes)."""
+    from hlld_spark.operators.dedup import minhash_signature_df
+    from hlld_spark.operators.text import _lang_id_batch
+
+    texts = [
+        "the quick brown fox 🦊 jumps over the lazy dog 🐶 in the field",
+        "狗和猫在田野里奔跑这是一个很长的句子😀还有更多的汉字内容在这里",
+        "собака и кошка бегут по полю 🏃 возле дома",
+        "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝔪𝔞𝔱𝔥 𝔰𝔱𝔶𝔩𝔢𝔡 𝔱𝔢𝔵𝔱 with the usual words of the day",
+    ]
+    got = list(_lang_id_batch(pd.Series(texts)))
+    assert got[0] == "en" and got[1] == "zh" and got[2] == "ru" and got[3] == "en"
+    single = [_lang_id_batch(pd.Series([t])).iloc[0] for t in texts]
+    assert got == single  # batch-shape invariant with multi-byte chars
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    a = {r["doc_id"]: bytes(r["signature"]) for r in minhash_signature_df(df, "doc_id", "text", 32).collect()}
+    b = {r["doc_id"]: bytes(r["signature"]) for r in minhash_signature_df(df.repartition(3), "doc_id", "text", 32).collect()}
+    assert a == b

@@ -137,3 +137,32 @@ def test_sparse_dense_builder_equivalence(hash_ints):
     for i in range(0, len(hashes), 7):
         b.add_prepared(prepared, np.arange(i, min(i + 7, len(hashes))))
     assert np.array_equal(b.finish(), dense)
+
+
+@given(
+    st.lists(st.sampled_from([f"i{k}" for k in range(12)]), min_size=1, max_size=400),
+    st.integers(min_value=2, max_value=8),
+    st.integers(min_value=1, max_value=50),
+)
+def test_misra_gries_error_bound_property(items, capacity, batch_size):
+    """The textbook MG invariant under arbitrary batching: for every
+    item, true_count - N/capacity <= summary_count <= true_count (absent
+    items have true_count <= N/capacity)."""
+    from collections import Counter
+
+    import numpy as np
+
+    from hlld_spark.operators.frequent import _mg_update
+
+    counters: dict = {}
+    for i in range(0, len(items), batch_size):
+        batch = items[i : i + batch_size]
+        u, c = np.unique(np.asarray(batch, dtype=object), return_counts=True)
+        _mg_update(counters, u, c, capacity)
+    true = Counter(items)
+    n = len(items)
+    assert len(counters) <= capacity
+    for it, tc in true.items():
+        got = counters.get(it, 0)
+        assert got <= tc
+        assert got >= tc - n / capacity - 1e-9, (it, got, tc, n, capacity)
