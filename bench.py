@@ -146,6 +146,14 @@ def main():
     timed("q8_lang_id_web", q8)
     extras["lang_docs_per_sec"] = round(n_lang[0] / timings["q8_lang_id_web"], 1)
 
+    # q9: exact heavy hitters over the Zipfian host column (round-2
+    # addition: Misra-Gries candidates + broadcast recount, no row
+    # shuffle of the 4M-row side)
+    from hlld_spark.operators.frequent import heavy_hitters
+
+    hosts = web.select(F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
+    timed("q9_heavy_hitters_hosts", lambda: heavy_hitters(hosts, "host", phi=0.001).collect())
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     # per-query deltas vs the previous round's recorded bench (VERDICT
