@@ -508,19 +508,44 @@ def simhash_dedup(
 
 
 def ngram_jaccard_pairs(
-    pairs_df: DataFrame, text_a: str, text_b: str, n: int = 3, out: str = "jaccard"
+    pairs_df: DataFrame, text_a: str, text_b: str, n: int = 3, out: str = "jaccard",
+    vectorized: bool = False,
 ) -> DataFrame:
-    """Exact Jaccard similarity of char-n-gram sets for explicit pairs."""
+    """Exact Jaccard similarity of char-n-gram sets for explicit pairs.
 
-    @F.pandas_udf(DoubleType())
-    def jac(a: pd.Series, b: pd.Series) -> pd.Series:
-        outv = np.zeros(len(a))
-        for i, (x, y) in enumerate(zip(a, b)):
-            sx = {(x or "")[j : j + n] for j in range(max(len(x or "") - n + 1, 1))}
-            sy = {(y or "")[j : j + n] for j in range(max(len(y or "") - n + 1, 1))}
-            u = len(sx | sy)
-            outv[i] = len(sx & sy) / u if u else 1.0
-        return pd.Series(outv)
+    Default path: per-pair Python sets over the true string n-grams —
+    exact, fine at verification volume (LSH has already bounded the pair
+    count). ``vectorized=True`` switches to batch shingle HASHING
+    (the minhash kernel: one polynomial pass per batch + np.intersect1d
+    per pair) — ~an order of magnitude faster for large verify sets,
+    exact up to 64-bit hash collisions (P ≈ m²/2⁶⁵ per pair)."""
+
+    if not vectorized:
+
+        @F.pandas_udf(DoubleType())
+        def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+            outv = np.zeros(len(a))
+            for i, (x, y) in enumerate(zip(a, b)):
+                sx = {(x or "")[j : j + n] for j in range(max(len(x or "") - n + 1, 1))}
+                sy = {(y or "")[j : j + n] for j in range(max(len(y or "") - n + 1, 1))}
+                u = len(sx | sy)
+                outv[i] = len(sx & sy) / u if u else 1.0
+            return pd.Series(outv)
+
+    else:
+
+        @F.pandas_udf(DoubleType())
+        def jac(a: pd.Series, b: pd.Series) -> pd.Series:
+            ha, oa = _char_shingle_hashes(a.fillna(""), n)
+            hb, ob = _char_shingle_hashes(b.fillna(""), n)
+            outv = np.zeros(len(a))
+            for i in range(len(a)):
+                sx = np.unique(ha[oa[i] : oa[i + 1]])
+                sy = np.unique(hb[ob[i] : ob[i + 1]])
+                inter = len(np.intersect1d(sx, sy, assume_unique=True))
+                union = len(sx) + len(sy) - inter
+                outv[i] = inter / union if union else 1.0
+            return pd.Series(outv)
 
     return pairs_df.withColumn(out, jac(F.col(text_a), F.col(text_b)))
 

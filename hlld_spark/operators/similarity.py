@@ -34,6 +34,25 @@ def _as_matrix(col: pd.Series) -> np.ndarray:
     return np.stack([np.asarray(v, dtype=np.float64) for v in col])
 
 
+def cosine_expr(a, b):
+    """Pure-Catalyst cosine similarity between two array columns —
+    zip_with products + higher-order aggregate sums, whole-stage
+    codegen, zero Python. The numpy-matmul paths in this module beat it
+    for bulk scoring (one BLAS call per batch vs per-row expression
+    trees), but this form composes into ANY Spark SQL expression and
+    needs no Arrow transfer."""
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+
+    def dot(x, y):
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: p * q), F.lit(0.0), lambda acc, v: acc + v
+        )
+
+    denom = F.sqrt(dot(a, a)) * F.sqrt(dot(b, b))
+    return F.when(denom > 0, dot(a, b) / denom).otherwise(F.lit(0.0))
+
+
 def _topk_schema(id_field) -> StructType:
     return StructType([id_field, StructField("cosine", DoubleType(), False)])
 

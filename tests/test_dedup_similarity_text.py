@@ -533,3 +533,39 @@ def test_unicode_robustness_lang_and_minhash(spark):
     a = {r["doc_id"]: bytes(r["signature"]) for r in minhash_signature_df(df, "doc_id", "text", 32).collect()}
     b = {r["doc_id"]: bytes(r["signature"]) for r in minhash_signature_df(df.repartition(3), "doc_id", "text", 32).collect()}
     assert a == b
+
+
+def test_ngram_jaccard_vectorized_agrees(spark, neardup_docs):
+    """The hashed-shingle fast path agrees with the python-set exact
+    path on real pairs (ASCII corpus; byte-shingles == char-shingles)."""
+    pairs = (
+        neardup_docs.filter(F.col("kind") == "orig")
+        .select(F.col("text").alias("ta"))
+        .limit(20)
+        .crossJoin(neardup_docs.filter(F.col("kind") != "orig").select(F.col("text").alias("tb")).limit(10))
+    )
+    a = [round(r["jaccard"], 9) for r in ngram_jaccard_pairs(pairs, "ta", "tb", n=4).orderBy("ta", "tb").collect()]
+    b = [
+        round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(pairs, "ta", "tb", n=4, vectorized=True).orderBy("ta", "tb").collect()
+    ]
+    assert a == b
+
+
+def test_cosine_expr_matches_numpy(spark, emb):
+    """Pure-Catalyst cosine (zip_with + aggregate) equals the numpy path."""
+    from hlld_spark.operators.similarity import cosine_expr
+
+    pdf = emb.limit(50).toPandas()
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["embedding"]])
+    q = mat[0]
+    df = emb.limit(50).withColumn("q", F.lit(q.tolist()).cast("array<double>"))
+    got = {r["vec_id"]: r["cos"] for r in df.select("vec_id", cosine_expr("embedding", "q").alias("cos")).collect()}
+    import numpy.linalg as la
+
+    for i, vid in enumerate(pdf["vec_id"]):
+        expect = float(mat[i] @ q / (la.norm(mat[i]) * la.norm(q)))
+        assert abs(got[vid] - expect) < 1e-6  # summation-order tolerance
+    # zero Python nodes in the plan
+    plan = df.select(cosine_expr("embedding", "q"))._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
