@@ -451,6 +451,30 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def _q_multimodal_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame/sample decimation paths with an exact oracle: every-4th
+    frame of FVID payloads and every-4th sample of FAUD payloads —
+    sampled counts must equal ceil(truth/4) from the fixture's
+    ground-truth columns (the engine derives them from the BINARY
+    payload alone)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.multimodal import (
+        sample_audio_frames,
+        sample_video_frames,
+        write_assets_fixture,
+    )
+
+    write_assets_fixture(_ASSETS_FIXTURE, 200)
+    assets = spark.read.parquet(_ASSETS_FIXTURE).select("asset_id", "kind", "payload")
+    out = sample_audio_frames(sample_video_frames(assets, every_n=4), every_n=4)
+    return out.select(
+        "asset_id",
+        "kind",
+        F.when(F.col("frame_features").isNotNull(), F.size("frame_features")).alias("n_sampled_frames"),
+        F.when(F.col("frame_samples").isNotNull(), F.size("frame_samples")).alias("n_sampled_audio"),
+    ).orderBy("asset_id")
+
+
 def _q_heavy_hitters_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """φ-heavy hitters with EXACT counts (Misra–Gries candidate superset
     → broadcast recount): every event_type with frequency ≥ 10% of
@@ -551,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_id_disagreement": _q_lang_id_disagreement,
         "multimodal_features": _q_multimodal_features,
+        "multimodal_frame_samples": _q_multimodal_frame_samples,
         "heavy_hitters_events": _q_heavy_hitters_events,
         "frequent_ngrams_documents": _q_frequent_ngrams_documents,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
@@ -688,6 +713,13 @@ def oracle_sql() -> dict[str, str]:
                    OCTET_LENGTH(payload)
                      - (CASE kind WHEN 'image' THEN 9 WHEN 'audio' THEN 12 ELSE 11 END) AS payload_bytes,
                    CASE WHEN kind = 'image' THEN 6 END AS n_features
+            FROM read_parquet('{_ASSETS_FIXTURE}')
+            ORDER BY asset_id
+        """,
+        "multimodal_frame_samples": f"""
+            SELECT asset_id, kind,
+                   CASE WHEN kind = 'video' THEN CAST(CEIL(n_frames / 4.0) AS INT) END AS n_sampled_frames,
+                   CASE WHEN kind = 'audio' THEN CAST(CEIL(n_samples / 4.0) AS INT) END AS n_sampled_audio
             FROM read_parquet('{_ASSETS_FIXTURE}')
             ORDER BY asset_id
         """,
