@@ -4,13 +4,21 @@ The training-data-pipeline companion to the sketch suite: find every
 item whose frequency is ≥ φ·N (hot urls, boilerplate n-grams, dominant
 hosts) with EXACT final counts, without ever shuffling row-level data.
 
-Two-stage shape (Misra–Gries 1982 summaries + exact recount):
+Two-stage shape (Misra–Gries 1982 summaries + exact recount), exactly
+ONE scan of the input per stage:
 
     stage 1  mapInArrow   — one Misra–Gries summary of capacity c per
                             partition (np.unique per Arrow batch; the
                             MG decrement runs on the ≤(c + batch-distinct)
                             dict, never per row). Emits ≤ c candidate
-                            items per partition.
+                            items per partition PLUS one sentinel row
+                            (item NULL) carrying the partition's exact
+                            item total — so the global N needed for the
+                            φ·N threshold costs no extra input scan.
+                            The sentinel is emitted UNCONDITIONALLY,
+                            even when the MG dict ends empty (an
+                            all-singletons partition can decrement every
+                            counter away; its rows still count toward N).
     stage 2  broadcast    — the candidate union is bounded by
                             partitions × c (a few KB of keys), so the
                             exact recount is a broadcast semi-join +
@@ -19,9 +27,9 @@ Two-stage shape (Misra–Gries 1982 summaries + exact recount):
 Guarantee (pigeonhole over the partition counts): any item with global
 count ≥ φ·N has local share ≥ φ·N_p in at least one partition, and a
 capacity-c Misra–Gries summary retains every item with local count >
-N_p/c — so with c ≥ ceil(1/φ) the candidate set is a SUPERSET of the
-true φ-heavy set (no false negatives). The exact recount then removes
-all false positives, making the final answer exact.
+N_p/(c+1) — so with c ≥ ceil(1/φ) the candidate set is a SUPERSET of
+the true φ-heavy set (no false negatives). The exact recount then
+removes all false positives, making the final answer exact.
 
 Reference context: hlld has no frequent-items command; this implements
 the standard mergeable-summary pattern (same two-phase shape as
@@ -32,7 +40,6 @@ literature.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
@@ -71,53 +78,78 @@ def heavy_hitters(
     Returns (col, exact_count), exact by construction: Misra–Gries
     candidates (superset guarantee) → broadcast recount (exact) →
     threshold filter.
+
+    Exactly TWO scans of the input: the summarize pass also carries the
+    per-partition exact total (null-item sentinel rows), so N never
+    needs its own ``count()`` job; the bounded summaries (≤ partitions ×
+    (capacity+1) rows) are collected once driver-side, then the recount
+    is the second and final scan.
     """
     if not (0 < phi < 1):
         raise ValueError("phi must be in (0, 1)")
     cap = capacity or int(np.ceil(2.0 / phi))
     in_field = df.schema[col]
-    cand_schema = StructType([in_field, StructField("__mg_count", LongType(), False)])
+    sum_schema = StructType(
+        [
+            StructField(col, in_field.dataType, True),  # null = sentinel total row
+            StructField("__mg_count", LongType(), False),
+            StructField("__total", LongType(), False),
+        ]
+    )
 
     def summarize(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
+        from pyspark.sql.pandas.types import to_arrow_type
 
         counters: dict = {}
+        total = 0
         for rb in batches:
             v = rb.column(rb.schema.get_field_index(col))
             if v.null_count:
                 v = v.drop_null()
             if len(v) == 0:
                 continue
+            total += len(v)
             vc = pc.value_counts(v)
             items = np.asarray(vc.field("values").to_pylist(), dtype=object)
             counts = np.asarray(vc.field("counts").to_pylist(), dtype=np.int64)
             _mg_update(counters, items, counts, cap)
-        if counters:
-            from pyspark.sql.pandas.types import to_arrow_type
+        # unconditional emit: the sentinel (null item) row carries the
+        # partition total even when the MG dict decremented to empty
+        ks = list(counters.keys())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ks + [None], type=to_arrow_type(in_field.dataType)),
+                pa.array([counters[k] for k in ks] + [0], type=pa.int64()),
+                pa.array([0] * len(ks) + [total], type=pa.int64()),
+            ],
+            names=[col, "__mg_count", "__total"],
+        )
 
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(list(counters.keys()), type=to_arrow_type(in_field.dataType)),
-                    pa.array(list(counters.values()), type=pa.int64()),
-                ],
-                names=[col, "__mg_count"],
-            )
-
-    candidates = (
-        df.select(col)
-        .mapInArrow(summarize, schema=cand_schema)
-        .groupBy(col)
-        .agg(F.sum("__mg_count").alias("__mg_count"))
-        .select(col)
-    )
-    # exact recount: candidates are bounded (≤ partitions × cap), so the
-    # semi-join broadcasts and the big side never shuffles rows — only
-    # the per-partition partial counts of the ≤|candidates| survivors
-    total = df.select(F.count(F.col(col)).alias("n")).first()["n"]
+    # scan 1: bounded summaries (≤ partitions × (cap+1) rows) → driver
+    rows = df.select(col).mapInArrow(summarize, schema=sum_schema).collect()
+    total = sum(r["__total"] for r in rows)
+    spark = df.sparkSession
+    if total == 0:
+        return (
+            df.select(col)
+            .limit(0)
+            .withColumn(out_count, F.lit(0).cast("long"))
+        )
+    cands = list({r[col] for r in rows if r[col] is not None})
     threshold = int(np.ceil(phi * total))
+    if not cands:
+        # MG superset guarantee: empty candidate union ⇒ no φ-heavy item
+        return df.select(col).limit(0).withColumn(out_count, F.lit(0).cast("long"))
+    cand_df = spark.createDataFrame(
+        [(c,) for c in cands], schema=StructType([StructField(col, in_field.dataType, True)])
+    )
+    # scan 2: exact recount — candidates broadcast into the semi-join,
+    # the big side never shuffles rows; only the ≤|candidates| survivor
+    # partial counts cross an exchange
     exact = (
-        df.join(F.broadcast(candidates), col, "left_semi")
+        df.join(F.broadcast(cand_df), col, "left_semi")
         .groupBy(col)
         .agg(F.count("*").alias(out_count))
         .filter(F.col(out_count) >= threshold)
@@ -139,10 +171,13 @@ def frequent_ngrams(
     Never explodes n-grams into rows (a 100 TB corpus would multiply by
     ~doc_tokens): both passes derive n-grams per Arrow batch inside the
     worker. Pass 1 runs the same Misra–Gries candidate guarantee as
-    :func:`heavy_hitters` plus the exact total; pass 2 recounts ONLY the
-    broadcast candidate set per partition (dict lookups over the
-    batch's n-gram counts) and sums the bounded partials. The only
-    shuffles carry ≤ partitions × capacity (ngram, count) rows.
+    :func:`heavy_hitters` plus the exact total (null-ngram sentinel row,
+    emitted unconditionally — an all-singletons partition whose MG dict
+    decrements to empty still reports its n-gram total); pass 2 recounts
+    ONLY the broadcast candidate set per partition (dict lookups over
+    the batch's n-gram counts) and sums the bounded partials. The only
+    shuffle carries ≤ partitions × capacity (ngram, count) rows; the
+    input is scanned exactly once per pass.
     """
     if not (0 < phi < 1):
         raise ValueError("phi must be in (0, 1)")
@@ -165,7 +200,7 @@ def frequent_ngrams(
 
     sum_schema = StructType(
         [
-            StructField("ngram", df.schema[text_col].dataType, False),
+            StructField("ngram", df.schema[text_col].dataType, True),
             StructField("__mg_count", LongType(), False),
             StructField("__total", LongType(), False),
         ]
@@ -182,24 +217,30 @@ def frequent_ngrams(
             total += int(counts.sum())
             if len(items):
                 _mg_update(counters, items, counts, cap)
-        if counters:
-            ks = list(counters.keys())
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(ks, type=pa.string()),
-                    pa.array([counters[k] for k in ks], type=pa.int64()),
-                    pa.array([total] + [0] * (len(ks) - 1), type=pa.int64()),
-                ],
-                names=["ngram", "__mg_count", "__total"],
-            )
+        ks = list(counters.keys())
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(ks + [None], type=pa.string()),
+                pa.array([counters[k] for k in ks] + [0], type=pa.int64()),
+                pa.array([0] * len(ks) + [total], type=pa.int64()),
+            ],
+            names=["ngram", "__mg_count", "__total"],
+        )
 
-    summaries = df.select(text_col).mapInArrow(summarize, schema=sum_schema).cache()
-    total = summaries.agg(F.sum("__total")).first()[0] or 0
+    # scan 1: bounded summaries → driver (total + candidate union in ONE job)
+    rows = df.select(text_col).mapInArrow(summarize, schema=sum_schema).collect()
+    total = sum(r["__total"] for r in rows)
     if total == 0:
-        return summaries.select(F.col("ngram"), F.lit(0).cast("long").alias(out_count)).limit(0)
-    cand = [r["ngram"] for r in summaries.select("ngram").distinct().collect()]
+        return (
+            df.sparkSession.createDataFrame(
+                [], schema=StructType(
+                    [StructField("ngram", df.schema[text_col].dataType, True),
+                     StructField(out_count, LongType(), True)]
+                )
+            )
+        )
+    cand_set = {r["ngram"] for r in rows if r["ngram"] is not None}  # ≤ partitions × capacity
     threshold = int(np.ceil(phi * total))
-    cand_set = set(cand)  # bounded: ≤ partitions × capacity
 
     recount_schema = StructType(
         [StructField("ngram", df.schema[text_col].dataType, False), StructField(out_count, LongType(), False)]
@@ -222,6 +263,7 @@ def frequent_ngrams(
                 names=["ngram", out_count],
             )
 
+    # scan 2: exact recount of the broadcast candidate set
     return (
         df.select(text_col)
         .mapInArrow(recount, schema=recount_schema)
