@@ -35,7 +35,7 @@ from .core.accumulator import HllSpec, accumulator_for
 from .operators.sketch import (
     _make_build_partials_arrow,
     _make_merge_partials,
-    _merge_all_arrow_factory,
+    _merge_global,
     _result_schema,
 )
 
@@ -165,5 +165,5 @@ def checkpointed_build(
     partials = spark.read.parquet(*partial_files)
     schema = partials.schema
     if not keys:
-        return partials.coalesce(1).mapInArrow(_merge_all_arrow_factory(), schema=schema)
+        return _merge_global(partials, schema)
     return partials.groupBy(*keys).applyInPandas(_make_merge_partials(keys), schema=schema)

@@ -262,3 +262,59 @@ def test_parquet_direct_single_giant_file_rowgroup_splits(spark, wp, tmp_path):
     for filt in ([("lang", "=", "en")], ds.field("lang") == "en"):
         fa = build_sketches_parquet(spark, d, [], "url", spec, filter=filt).collect()[0]
         assert bytes(fa["sketch"]) == bytes(fb["sketch"]) and fa["n_rows"] == fb["n_rows"]
+
+
+def test_global_merge_build_stays_parallel(spark, docs):
+    """VERDICT r2 #2 (sharpened): coalesce(1) before the global merge was
+    a NARROW dependency — it collapsed the whole upstream stage into the
+    single merge task, serializing the partial builds themselves (probed:
+    16 partitions, one taskAttemptId). _merge_global uses a real exchange,
+    so the builds must now run under distinct task attempts."""
+    import glob
+    import os
+    import tempfile
+    import uuid
+
+    from pyspark import TaskContext
+
+    marker = tempfile.mkdtemp(prefix="hlld_global_tasks_")
+
+    def passthrough(batches):
+        tc = TaskContext.get()
+        open(os.path.join(marker, f"{tc.taskAttemptId()}_{uuid.uuid4().hex}"), "w").close()
+        yield from batches
+
+    df = docs.select("doc_id").repartition(16)
+    wrapped = df.mapInArrow(passthrough, schema=df.schema)
+    build_sketches(wrapped, [], "doc_id", HllSpec(12)).collect()
+    names = [os.path.basename(p) for p in glob.glob(os.path.join(marker, "*"))]
+    tasks = {n.split("_")[0] for n in names}
+    assert len(names) == 16  # every partition built
+    assert len(tasks) == 16, f"builds serialized into {len(tasks)} task(s)"
+
+
+def test_global_tree_merge_byte_identical(spark, docs):
+    """Above _GLOBAL_MERGE_FANIN partials the global merge goes through a
+    sqrt(n)-task tree level; HLL merge is associative+commutative so the
+    result must be byte-identical to the flat (<=fanin) path."""
+    from hlld_spark.operators.sketch import _GLOBAL_MERGE_FANIN
+
+    spec = HllSpec(12)
+    flat = build_sketches(docs.repartition(4), [], "doc_id", spec).collect()[0]
+    n_parts = 2 * _GLOBAL_MERGE_FANIN  # forces the two-level tree
+    tree = build_sketches(docs.repartition(n_parts), [], "doc_id", spec).collect()[0]
+    assert bytes(tree["sketch"]) == bytes(flat["sketch"])
+    assert tree["n_rows"] == flat["n_rows"]
+
+
+def test_global_tree_merge_byte_identical_cms_bloom(spark, docs):
+    from hlld_spark.core.bloom import BloomSpec
+    from hlld_spark.core.cms import CmsSpec
+    from hlld_spark.operators.sketch import _GLOBAL_MERGE_FANIN
+
+    n_parts = _GLOBAL_MERGE_FANIN + 9
+    for spec in (CmsSpec(), BloomSpec(bits=1 << 20)):
+        flat = build_sketches(docs.repartition(3), [], "doc_id", spec).collect()[0]
+        tree = build_sketches(docs.repartition(n_parts), [], "doc_id", spec).collect()[0]
+        assert bytes(tree["sketch"]) == bytes(flat["sketch"]), type(spec).__name__
+        assert tree["n_rows"] == flat["n_rows"]
