@@ -550,6 +550,73 @@ def _q_streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_streaming_windowed_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emit-on-close streaming gate (VERDICT r2 task 8): append-mode
+    windowed_sketch_stream emits each (day, event_type) window EXACTLY
+    ONCE, finalized, when the watermark closes it — so the raw emitted
+    rows (no downstream max()/last() dedup) must equal the batch GROUP
+    BY. Two far-future sentinel files advance the watermark past every
+    real window and then trigger the timeout batch that fires the final
+    emissions; the sentinel's own (still-open) window is filtered out."""
+    import os
+    import tempfile
+
+    _ensure_shipped(spark)
+    from hlld_spark.core.accumulator import HllSpec
+    from hlld_spark.streaming.sketch_stream import windowed_sketch_stream
+
+    ev = _load(spark, sf_dir, "events")
+    src = "/tmp/hlld_spark_fixtures/events_stream_append_" + os.path.basename(sf_dir.rstrip("/"))
+    if not os.path.exists(os.path.join(src, "_SUCCESS")):
+        # three deterministic chunks = three data micro-batches
+        b = F.pmod(F.xxhash64("user_id", "ts"), F.lit(3))
+        for i in range(3):
+            ev.filter(b == i).coalesce(1).write.mode("append").parquet(src)
+        # sentinel 1 advances the watermark past win_end + 60d for every
+        # real window; sentinel 2's batch is where the armed timeouts
+        # actually fire (timeout processing happens inside a batch)
+        last = ev.orderBy(F.desc("ts")).limit(1).withColumn("event_type", F.lit("__sentinel__"))
+        for j in (400, 401):
+            last.withColumn("ts", F.col("ts") + F.expr(f"INTERVAL {j} DAYS")).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        # events.ts is TIMESTAMP_NTZ; watermarks require an instant type
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = windowed_sketch_stream(
+        stream,
+        "ts",
+        ["event_type"],
+        "user_id",
+        HllSpec(12),
+        window="1 day",
+        watermark="60 days",
+        output_mode="append",
+    )
+    ckpt = tempfile.mkdtemp(prefix="hlld_stream_app_ck_")
+    qname = f"ev_app_{os.path.basename(ckpt)[-8:]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(qname)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 3, f"expected ≥3 micro-batches, got {n_batches}"
+    mem = spark.sql(f"select * from {qname}").filter(F.col("event_type") != "__sentinel__")
+    # append mode = one finalized row per closed window, used AS IS
+    return mem.select(
+        F.to_date("window_start").alias("day"), "event_type", "n_rows"
+    ).orderBy("day", "event_type")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "exact_distinct_users_by_type": _q_exact_distinct_users_by_type,
@@ -579,6 +646,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "heavy_hitters_events": _q_heavy_hitters_events,
         "frequent_ngrams_documents": _q_frequent_ngrams_documents,
         "streaming_windowed_counts": _q_streaming_windowed_counts,
+        "streaming_windowed_append": _q_streaming_windowed_append,
     }
 
 
@@ -743,6 +811,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY ngram
         """,
         "streaming_windowed_counts": """
+            SELECT CAST(ts AS DATE) AS day, event_type, COUNT(user_id) AS n_rows
+            FROM events GROUP BY CAST(ts AS DATE), event_type
+            ORDER BY day, event_type
+        """,
+        "streaming_windowed_append": """
             SELECT CAST(ts AS DATE) AS day, event_type, COUNT(user_id) AS n_rows
             FROM events GROUP BY CAST(ts AS DATE), event_type
             ORDER BY day, event_type

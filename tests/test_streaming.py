@@ -199,3 +199,115 @@ def test_stream_generic_specs(spark, stream_dir, tmp_path):
         )
         rank = sum(1 for v in vals if v <= med) / len(vals)
         assert abs(rank - 0.5) <= 0.05, (lang, rank)
+
+
+def test_interval_ms_grammar():
+    """ADVICE r2: accept Spark-valid abbreviated and compound intervals."""
+    from hlld_spark.streaming.sketch_stream import _interval_ms
+
+    assert _interval_ms("30 sec") == 30_000
+    assert _interval_ms("30 secs") == 30_000
+    assert _interval_ms("5 min") == 300_000
+    assert _interval_ms("2 mins") == 120_000
+    assert _interval_ms("1 hr") == 3_600_000
+    assert _interval_ms("1 hour 30 minutes") == 5_400_000
+    assert _interval_ms("interval 1 day") == 86_400_000
+    assert _interval_ms("250 ms") == 250
+    assert _interval_ms("1 week") == 604_800_000
+    assert _interval_ms("1.5 hours") == 5_400_000
+    for bad in ("", "5", "5 fortnights", "abc hours"):
+        with pytest.raises(ValueError):
+            _interval_ms(bad)
+
+
+def _write_daily_files(spark, d, days=4, rows=200):
+    import time as _t
+
+    for day in range(days):
+        spark.range(rows).select(
+            F.to_timestamp(F.lit(f"2024-01-0{day+1} 12:00:00")).alias("ts"),
+            F.concat(F.lit(f"u{day}-"), F.col("id").cast("string")).alias("uid"),
+        ).coalesce(1).write.mode("append").parquet(d)
+        _t.sleep(1.1)  # distinct mtimes → deterministic file order
+
+
+def test_windowed_eviction_non_utc_session(spark, tmp_path):
+    """ADVICE r2: the eviction timeout must be timezone-exact. The window
+    key's epoch-ms twin is computed JVM-side (unix_millis), so a
+    west-of-UTC session no longer evicts open windows early (the old
+    calendar.timegm over the naive session-tz datetime was off by the
+    UTC offset)."""
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+        d = str(tmp_path / "in")
+        os.makedirs(d)
+        _write_daily_files(spark, d)
+        schema = spark.read.parquet(d).schema
+        stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+        out = windowed_sketch_stream(
+            stream, "ts", [], "uid", HllSpec(10), window="1 day", watermark="0 seconds"
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("evict_tz")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ck_tz"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        pdf = spark.sql("select * from evict_tz").toPandas()
+        # every window's FINAL n_rows is complete: no mid-window state
+        # reset from a premature (tz-shifted) eviction
+        assert pdf["window_start"].nunique() == 4
+        assert (pdf.groupby("window_start")["n_rows"].max() == 200).all()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_windowed_append_mode_equals_batch(spark, tmp_path):
+    """VERDICT r2 task 8 (emit-on-close): append mode emits each window
+    exactly once, finalized; the raw emissions equal the batch GROUP BY
+    with no downstream max()/dedup."""
+    d = str(tmp_path / "in")
+    os.makedirs(d)
+    _write_daily_files(spark, d)
+    # two far-future sentinel files: first advances the watermark past
+    # every real window, second triggers the batch where timeouts fire
+    import time as _t
+
+    for j in (30, 31):
+        spark.range(1).select(
+            F.to_timestamp(F.lit(f"2024-03-{j:02d} 12:00:00")).alias("ts"),
+            F.lit("sentinel").alias("uid"),
+        ).coalesce(1).write.mode("append").parquet(d)
+        _t.sleep(1.1)
+    schema = spark.read.parquet(d).schema
+    stream = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(d)
+    out = windowed_sketch_stream(
+        stream, "ts", [], "uid", HllSpec(12), window="1 day", watermark="0 seconds",
+        output_mode="append",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("append_close")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_app"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    pdf = spark.sql("select * from append_close").toPandas()
+    real = pdf[pdf["window_start"] < pd_ts("2024-03-01")]
+    # exactly once per closed window, exact counts, no re-emissions
+    assert len(real) == real["window_start"].nunique() == 4
+    assert (real.set_index("window_start")["n_rows"] == 200).all()
+    # still-open sentinel windows are never emitted
+    assert len(pdf) == len(real) + 1 or len(pdf) == len(real)
+
+
+def pd_ts(s):
+    import pandas as pd
+
+    return pd.Timestamp(s)
