@@ -536,20 +536,42 @@ def test_unicode_robustness_lang_and_minhash(spark):
 
 
 def test_ngram_jaccard_vectorized_agrees(spark, neardup_docs):
-    """The hashed-shingle fast path agrees with the python-set exact
-    path on real pairs (ASCII corpus; byte-shingles == char-shingles)."""
+    """The default hashed-shingle fast path agrees with the python-set
+    exact path (exact=True opt-in) on real pairs."""
     pairs = (
         neardup_docs.filter(F.col("kind") == "orig")
         .select(F.col("text").alias("ta"))
         .limit(20)
         .crossJoin(neardup_docs.filter(F.col("kind") != "orig").select(F.col("text").alias("tb")).limit(10))
     )
-    a = [round(r["jaccard"], 9) for r in ngram_jaccard_pairs(pairs, "ta", "tb", n=4).orderBy("ta", "tb").collect()]
-    b = [
+    a = [
         round(r["jaccard"], 9)
-        for r in ngram_jaccard_pairs(pairs, "ta", "tb", n=4, vectorized=True).orderBy("ta", "tb").collect()
+        for r in ngram_jaccard_pairs(pairs, "ta", "tb", n=4, exact=True).orderBy("ta", "tb").collect()
     ]
+    b = [round(r["jaccard"], 9) for r in ngram_jaccard_pairs(pairs, "ta", "tb", n=4).orderBy("ta", "tb").collect()]
     assert a == b
+
+
+def test_ngram_jaccard_unicode_agrees(spark):
+    """ADVICE r2: the hashed path shingles CODE POINTS (utf-32 lanes),
+    so it agrees with the character-set exact path on non-ASCII text
+    where byte-shingling diverged (multi-byte chars split across byte
+    n-grams)."""
+    texts = [
+        ("机器学习的数据管道处理海量文本", "机器学习的数据管道处理大量文本"),
+        ("Ψαρεύω στη θάλασσα κάθε πρωί", "Ψαρεύω στη λίμνη κάθε πρωί"),
+        ("дедупликация корпуса текстов", "дедупликация корпуса данных"),
+        ("naïve café déjà-vu über alles", "naïve café déjà-vu unter alles"),
+        ("mixed ascii 和中文 together", "mixed ascii 和日文 together"),
+    ]
+    pairs = spark.createDataFrame(texts, ["ta", "tb"])
+    a = [
+        round(r["jaccard"], 9)
+        for r in ngram_jaccard_pairs(pairs, "ta", "tb", n=3, exact=True).orderBy("ta").collect()
+    ]
+    b = [round(r["jaccard"], 9) for r in ngram_jaccard_pairs(pairs, "ta", "tb", n=3).orderBy("ta").collect()]
+    assert a == b
+    assert all(0 < x < 1 for x in a)  # genuinely partial overlaps
 
 
 def test_cosine_expr_matches_numpy(spark, emb):
@@ -569,3 +591,59 @@ def test_cosine_expr_matches_numpy(spark, emb):
     # zero Python nodes in the plan
     plan = df.select(cosine_expr("embedding", "q"))._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
+
+
+def test_dedup_exact_duplicate_id_cross_content(spark):
+    """ADVICE r2: with repeating ids, a keeper id that also labels OTHER
+    content must not drag those rows through, and no content group may
+    vanish. unique_ids=False keys the semi-join on (content-hash, id):
+    exactly one row per content group survives."""
+    df = spark.createDataFrame(
+        [("u1", "aaa"), ("u1", "bbb"), ("u2", "bbb"), ("u2", "aaa"), ("u9", "ccc")],
+        ["url", "t"],
+    )
+    out = sorted((r["url"], r["t"]) for r in dedup_exact(df, "url", ["t"], unique_ids=False).collect())
+    # groups: aaa->min u1, bbb->min u1, ccc->u9 — BOTH u1 groups survive
+    assert out == [("u1", "aaa"), ("u1", "bbb"), ("u9", "ccc")]
+
+
+def test_capped_cluster_pairs_hot_bucket_recall():
+    """VERDICT r2 #6 unit: in a bucket hotter than the cap, (a) pairs
+    co-resident in an overflow chunk and (b) clusters reaching the head
+    chunk are all recovered — min-only anchoring found neither when the
+    bucket min wasn't in the cluster."""
+    from hlld_spark.operators.dedup import _capped_cluster_pairs
+
+    ids = np.arange(40)
+    cluster = {i: 0 for i in list(range(8)) + [20, 21]}  # reaches the head chunk
+    cluster.update({25: 1, 26: 1})  # pair entirely inside one overflow chunk
+    sim = np.zeros((40, 40))
+    for a in range(40):
+        for b in range(40):
+            if cluster.get(a, f"a{a}") == cluster.get(b, f"b{b}"):
+                sim[a, b] = 1.0
+    i, k, s = _capped_cluster_pairs(
+        ids, lambda ia, ib: sim[np.ix_(ia, ib)], lambda S: S >= 0.5, cap=8
+    )
+    got = dict(zip(i.tolist(), k.tolist()))
+    # head-cluster members anywhere in the bucket anchor to the min id
+    assert all(got[x] == 0 for x in list(range(1, 8)) + [20, 21])
+    # the overflow-tail pair is found (old code: missed — neither matched row 0)
+    assert got[26] == 25
+    # no false pairs
+    assert set(got) == set(list(range(1, 8)) + [20, 21, 26])
+
+
+def test_minhash_hot_bucket_overflow_recall(spark):
+    """Integration: a near-dup cluster 4x hotter than max_bucket_pairwise
+    keeps 100% recall (every member labels to the cluster min)."""
+    from hlld_spark.operators.dedup import minhash_lsh_dedup
+
+    base = " ".join(f"tok{i}" for i in range(120))
+    rows = [(i, base + f" tail{i}") for i in range(32)]
+    rows += [(100 + i, f"unique doc {i} " + " ".join(f"w{i}-{j}" for j in range(100))) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    out = minhash_lsh_dedup(df, "doc_id", "text", threshold=0.8, max_bucket_pairwise=8)
+    got = {r["id"]: r["keeper_id"] for r in out.collect()}
+    assert all(got[i] == 0 for i in range(32)), {i: got[i] for i in range(32) if got[i] != 0}
+    assert all(got[100 + i] == 100 + i for i in range(10))
