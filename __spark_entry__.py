@@ -417,6 +417,32 @@ def _q_lang_id_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lang_id_natural_disagreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-text language-ID gate (VERDICT r2 #4), exact empty oracle:
+    profile-based lang-id (character-trigram log-likelihood over embedded
+    function-word profiles — `operators/lang_profiles.py`) must label
+    every sentence of the held-out natural corpus (open-class vocabulary
+    the profiles never saw; 10 languages incl. script-only zh/ja)
+    correctly. The marker-heuristic gate (`lang_id_disagreement`) stays
+    as the synthetic fast-path check."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.lang_profiles import EVAL_SENTENCES, with_lang_id_profiles
+
+    rows = []
+    doc_id = 0
+    for lang in EVAL_SENTENCES:
+        for s in EVAL_SENTENCES[lang]:
+            rows.append((doc_id, lang, s))
+            doc_id += 1
+    d = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    return (
+        with_lang_id_profiles(d, "text")
+        .filter(F.col("lang_id") != F.col("lang"))
+        .select("doc_id", "lang", "lang_id")
+        .orderBy("doc_id")
+    )
+
+
 _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
 
 
@@ -641,6 +667,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "text_stats": _q_text_stats,
         "lang_id_disagreement": _q_lang_id_disagreement,
+        "lang_id_natural_disagreement": _q_lang_id_natural_disagreement,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
         "heavy_hitters_events": _q_heavy_hitters_events,
@@ -773,6 +800,10 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "lang_id_disagreement": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
+                   CAST(NULL AS VARCHAR) AS lang_id WHERE 1 = 0
+        """,
+        "lang_id_natural_disagreement": """
             SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
                    CAST(NULL AS VARCHAR) AS lang_id WHERE 1 = 0
         """,

@@ -1,0 +1,289 @@
+"""Natural-text language ID — character-trigram profiles (VERDICT r2 #4).
+
+The marker heuristic in ``text.with_lang_id`` nails synthetic corpora but
+has no model of natural text. This module embeds small per-language
+profiles built from rank-weighted high-frequency word lists (public
+linguistic common knowledge — the standard closed-class/function-word
+inventories of each language, the same signal Cavnar & Trenkle's n-gram
+method [1994] and CLD-style profiles key on) and scores documents by
+trigram-profile match.
+
+Everything is batch-vectorized: one lowercase pass over the whole batch,
+one code-point poly-hash pass (the SAME kernel minhash shingling uses —
+``dedup._char_shingle_hashes``), one sorted-array lookup into the
+compiled profile table, one ``np.add.at`` scatter into a (docs × langs)
+score matrix. No per-document Python in the scoring path.
+
+Reference parity note: the reference (hlld) has no language ID — this is
+a brief-mandated training-data-pipeline companion operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import StringType
+
+# ---------------------------------------------------------------------------
+# per-language high-frequency word lists (rank-ordered, most frequent first)
+# ---------------------------------------------------------------------------
+# Closed-class words: articles, prepositions, pronouns, conjunctions,
+# auxiliaries — the most language-distinctive AND most frequent tokens of
+# any natural text. Diacritic-bearing forms are deliberately included
+# (ß, ç, ã, è, …): their trigrams are near-unique per language.
+
+_WORDS: dict[str, list[str]] = {
+    "en": """the of and to in is was he for it with as his on be at by had
+        this not are but from or have an they which one you were her all
+        she there would their we him been has when who will more no if out
+        so said what its about than into them can only other""".split(),
+    "es": """de la que el en y a los del se las por un para con no una su
+        al lo como más pero sus le ya o este sí porque esta entre cuando
+        muy sin sobre también me hasta hay donde quien desde todo nos
+        durante todos uno les ni contra otros ese eso ante ellos""".split(),
+    "de": """der die und in den von zu das mit sich des auf für ist im dem
+        nicht ein eine als auch es an werden aus er hat daß sie nach wird
+        bei einer um am sind noch wie einem über einen so zum war haben
+        nur oder aber vor zur bis mehr durch man sein wurde sei""".split(),
+    "fr": """de la le et les des en un du une que est pour qui dans a par
+        plus pas au sur ne se ce il sont la aux avec son ont cette mais ou
+        comme fait été aussi leur bien où sans peut tout nous dont même
+        après deux autres vous être ses était entre elle tous ces qu' l'
+        d' c' j' n' s' m' ils elles avait cela très leurs""".split(),
+    "pt": """de a o que e do da em um para é com não uma os no se na por
+        mais as dos como mas foi ao ele das tem à seu sua ou ser quando
+        muito há nos já está eu também só pelo pela até isso ela entre era
+        depois sem mesmo aos ter seus quem nas me esse eles estão estava
+        estavam são lhe você às num numa após ainda onde então""".split(),
+    "it": """di a da in che e il un per è con non una su le si lo come più
+        ma sono del al ha lei loro se nel anche della gli dei questo alla
+        essere suo perché ci hanno tutto nella sua dal fra era quella
+        stato molto quando dalla questa così ne può senza dove primo""".split(),
+    "nl": """de van het een en in is dat op te zijn met voor hij niet aan
+        er die maar om door over ze bij ook tot je mij dan zou of wat mijn
+        men dit zo kan geen worden nog wel moet hem naar heeft hebben deze
+        uit was werd onder had ik hun naast ons tegen al waren""".split(),
+    # Cyrillic forms — their trigrams are disjoint from every Latin profile
+    "ru": """и в не на я что он с как это по но они мы все она так его к
+        то же у вы за бы мне было только её ещё от меня нет когда даже ну
+        ли если уже или них быть был него до вас нибудь снова вам сказал
+        себя тут ничего ей может там где есть надо ней для дело""".split(),
+}
+
+_PROFILE_LANGS = list(_WORDS)
+_TRIGRAM_K = 3
+
+# poly-hash constants — MUST match dedup._char_shingle_hashes so the
+# profile table and the batch kernel hash identically
+from .dedup import _char_shingle_hashes  # noqa: E402
+
+
+def _word_trigram_hashes(word: str) -> np.ndarray:
+    """Trigram hashes of one space-padded word via the shared kernel."""
+    h, _ = _char_shingle_hashes(pd.Series([f" {word} "]), _TRIGRAM_K)
+    return h
+
+
+def _build_profile_table() -> tuple[np.ndarray, np.ndarray]:
+    """Compile the word lists into (sorted trigram-hash vector,
+    per-trigram weight matrix of shape [n_trigrams, n_langs]).
+
+    Weight of a word at rank r is the Zipf surrogate 1/(r+1); every
+    trigram of the padded word inherits it. Per-language columns are
+    L1-normalized so languages with longer word lists aren't favored."""
+    acc: dict[int, np.ndarray] = {}
+    n = len(_PROFILE_LANGS)
+    for j, lang in enumerate(_PROFILE_LANGS):
+        for r, w in enumerate(_WORDS[lang]):
+            wt = 1.0 / (r + 1.0)
+            for hv in _word_trigram_hashes(w.lower()):
+                row = acc.setdefault(int(hv), np.zeros(n))
+                row[j] += wt
+    hashes = np.fromiter(acc.keys(), dtype=np.uint64, count=len(acc))
+    weights = np.stack([acc[int(h)] for h in hashes])
+    # log-likelihood weights: P(t|L) from the Zipf-weighted counts, then
+    # W = log(P / P_floor) where the floor is the smoothed probability of
+    # an unseen trigram. Summing W over a doc's MATCHED trigrams is
+    # exactly the doc log-likelihood under L up to the constant
+    # n_trigrams*log(P_floor), which cancels in the argmax — so unseen
+    # trigrams need no scatter work.
+    p = weights / np.maximum(weights.sum(axis=0, keepdims=True), 1e-12)
+    floor = p[p > 0].min() * 0.1
+    weights = np.where(p > 0, np.log(np.maximum(p, floor) / floor), 0.0)
+    order = np.argsort(hashes)
+    return hashes[order], weights[order]
+
+
+_TABLE: tuple[np.ndarray, np.ndarray] | None = None
+
+
+def _table() -> tuple[np.ndarray, np.ndarray]:
+    global _TABLE
+    if _TABLE is None:
+        _TABLE = _build_profile_table()
+    return _TABLE
+
+
+# ---------------------------------------------------------------------------
+# batch scorer
+# ---------------------------------------------------------------------------
+
+
+def _profile_lang_batch(texts: pd.Series, min_score: float = 1e-4) -> pd.Series:
+    """Whole-batch profile language ID.
+
+    1. ONE lowercase pass (NUL-joined batch → str.lower → split; lower
+       never produces NUL so doc boundaries survive).
+    2. ONE trigram poly-hash pass over the concatenated code-point
+       buffer (shared kernel; docs space-padded so edge trigrams match
+       the padded-word profiles).
+    3. sorted-array lookup + np.add.at scatter into (docs × langs).
+    4. han/kana script ratios override for zh/ja (no word segmentation);
+       cyrillic backstop for ru on short texts.
+    """
+    tl = [v if isinstance(v, str) else "" for v in texts]
+    n_docs = len(tl)
+    if n_docs == 0:
+        return pd.Series([], dtype=object)
+    lowered = "\x00".join(tl).lower().split("\x00")
+    if len(lowered) != n_docs:  # pathological: lower() produced a NUL
+        lowered = [t.lower() for t in tl]
+    padded = pd.Series([f" {t} " for t in lowered])
+    h, offsets = _char_shingle_hashes(padded, _TRIGRAM_K)
+    hashes, weights = _table()
+    n_langs = weights.shape[1]
+    scores = np.zeros((n_docs, n_langs))
+    per_doc = offsets[1:] - offsets[:-1]  # compacted hashes per doc
+    n_matched = np.zeros(n_docs, dtype=np.int64)
+    if len(h):
+        doc_idx = np.repeat(np.arange(n_docs), per_doc)
+        pos = np.searchsorted(hashes, h)
+        pos = np.minimum(pos, len(hashes) - 1)
+        matched = hashes[pos] == h
+        if matched.any():
+            np.add.at(scores, doc_idx[matched], weights[pos[matched]])
+            np.add.at(n_matched, doc_idx[matched], 1)
+    scores /= np.maximum(per_doc, 1)[:, None]
+    best_j = scores.argmax(axis=1)
+    best = scores[np.arange(n_docs), best_j]
+    confident = (best > min_score) & (n_matched >= 2)  # one stray trigram is no evidence
+    out = np.where(confident, np.array(_PROFILE_LANGS, dtype=object)[best_j], "und")
+    # --- script overrides (zh/ja have no word lists; ru backstop) --------
+    lens = np.fromiter((len(t) for t in tl), dtype=np.int64, count=n_docs)
+    han = np.zeros(n_docs)
+    kana = np.zeros(n_docs)
+    cyr = np.zeros(n_docs)
+    na_idx = np.fromiter((i for i, s in enumerate(tl) if not s.isascii()), dtype=np.int64)
+    if len(na_idx):
+        sub = [tl[i] for i in na_idx]
+        sub_lens = lens[na_idx]
+        arr = np.frombuffer("".join(sub).encode("utf-32-le"), dtype=np.uint32)
+        bounds = np.concatenate(([0], np.cumsum(sub_lens)))
+
+        def ratio(mask: np.ndarray) -> np.ndarray:
+            c = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
+            return (c[bounds[1:]] - c[bounds[:-1]]) / np.maximum(sub_lens, 1)
+
+        han[na_idx] = ratio((arr >= 0x4E00) & (arr <= 0x9FFF))
+        kana[na_idx] = ratio((arr >= 0x3040) & (arr <= 0x30FF))
+        cyr[na_idx] = ratio((arr >= 0x0400) & (arr <= 0x04FF))
+    out = np.where(han > 0.3, "zh", out)
+    out = np.where(kana > 0.05, "ja", out)
+    out = np.where((cyr > 0.3) & (out == "und"), "ru", out)
+    out = np.where(lens == 0, "und", out)
+    return pd.Series(out, dtype=object)
+
+
+# ---------------------------------------------------------------------------
+# held-out evaluation corpus (natural text, NOT profile input)
+# ---------------------------------------------------------------------------
+# Short everyday sentences per language — the gate fixture for the
+# `lang_id_natural_disagreement` driver query and the unit tests. These
+# sentences contain open-class vocabulary the profiles never saw; only
+# their function words overlap, which is exactly what the method claims
+# to key on.
+
+EVAL_SENTENCES: dict[str, list[str]] = {
+    "en": [
+        "The weather was cold this morning and the streets were quiet.",
+        "She said that they would arrive at the station before noon.",
+        "There is a small garden behind the house with many old trees.",
+        "He opened the window and looked out over the river for a while.",
+        "We have been waiting for the answer since the start of the week.",
+    ],
+    "es": [
+        "El tiempo estaba frío esta mañana y las calles estaban tranquilas.",
+        "Ella dijo que llegarían a la estación antes del mediodía.",
+        "Hay un pequeño jardín detrás de la casa con muchos árboles viejos.",
+        "Abrió la ventana y miró el río durante un buen rato.",
+        "Hemos esperado la respuesta desde el comienzo de la semana.",
+    ],
+    "de": [
+        "Das Wetter war heute Morgen kalt und die Straßen waren ruhig.",
+        "Sie sagte, dass sie vor Mittag am Bahnhof ankommen würden.",
+        "Hinter dem Haus gibt es einen kleinen Garten mit vielen alten Bäumen.",
+        "Er öffnete das Fenster und schaute eine Weile über den Fluss.",
+        "Wir warten seit Anfang der Woche auf die Antwort.",
+    ],
+    "fr": [
+        "Le temps était froid ce matin et les rues étaient calmes.",
+        "Elle a dit qu'ils arriveraient à la gare avant midi.",
+        "Il y a un petit jardin derrière la maison avec beaucoup de vieux arbres.",
+        "Il a ouvert la fenêtre et a regardé le fleuve pendant un moment.",
+        "Nous attendons la réponse depuis le début de la semaine.",
+    ],
+    "pt": [
+        "O tempo estava frio esta manhã e as ruas estavam tranquilas.",
+        "Ela disse que eles chegariam à estação antes do meio-dia.",
+        "Há um pequeno jardim atrás da casa com muitas árvores velhas.",
+        "Ele abriu a janela e olhou para o rio durante algum tempo.",
+        "Estamos à espera da resposta desde o começo da semana.",
+    ],
+    "it": [
+        "Il tempo era freddo questa mattina e le strade erano tranquille.",
+        "Lei ha detto che sarebbero arrivati alla stazione prima di mezzogiorno.",
+        "C'è un piccolo giardino dietro la casa con molti alberi vecchi.",
+        "Ha aperto la finestra e ha guardato il fiume per un po' di tempo.",
+        "Aspettiamo la risposta dall'inizio della settimana.",
+    ],
+    "nl": [
+        "Het weer was vanochtend koud en de straten waren stil.",
+        "Ze zei dat ze voor de middag op het station zouden aankomen.",
+        "Achter het huis is een kleine tuin met veel oude bomen.",
+        "Hij opende het raam en keek een tijdje uit over de rivier.",
+        "We wachten al sinds het begin van de week op het antwoord.",
+    ],
+    "ru": [
+        "Погода этим утром была холодной, и улицы были тихими.",
+        "Она сказала, что они приедут на вокзал до полудня.",
+        "За домом есть небольшой сад со многими старыми деревьями.",
+        "Он открыл окно и некоторое время смотрел на реку.",
+        "Мы ждём ответа с начала недели.",
+    ],
+    "zh": [
+        "今天早上天气很冷，街道很安静。",
+        "她说他们会在中午之前到达车站。",
+        "房子后面有一个小花园，里面有许多老树。",
+        "他打开窗户，看了一会儿河水。",
+        "我们从这周开始就在等待答复。",
+    ],
+    "ja": [
+        "今朝は天気が寒くて、通りは静かでした。",
+        "彼女は正午前に駅に着くと言いました。",
+        "家の裏には古い木がたくさんある小さな庭があります。",
+        "彼は窓を開けて、しばらく川を眺めていました。",
+        "私たちは週の初めから返事を待っています。",
+    ],
+}
+
+
+def with_lang_id_profiles(df: DataFrame, text_col: str = "text", out: str = "lang_id") -> DataFrame:
+    """Profile-based language ID column (natural-text path). The marker
+    heuristic (``text.with_lang_id``) remains the synthetic fast-path."""
+
+    @F.pandas_udf(StringType())
+    def lang_udf(t: pd.Series) -> pd.Series:
+        return _profile_lang_batch(t)
+
+    return df.withColumn(out, lang_udf(F.col(text_col)))
