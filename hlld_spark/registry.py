@@ -23,10 +23,12 @@ Reproduces the test-visible semantics of hlld's 9 protocol commands
   flush   — persist dirty registers + config with cached size; no-op if
             clean (src/set.c:157-196)
 
-On-disk layout mirrors the reference (src/set.c:18-28): a directory
-``hlld.<name>/`` holding ``config.json`` (the INI twin) and
-``data.mmap`` — raw packed registers, byte-identical to the reference's
-registers.mmap layout.
+On-disk layout IS the reference's (src/set.c:18-28): a directory
+``hlld.<name>/`` holding ``config.ini`` (the exact
+update_filename_from_set_config format, src/set.c:55-74) and
+``registers.mmap`` (raw packed registers, byte-identical) — a stock hlld
+daemon pointed at this data dir discovers and serves these sets. The
+pre-r3 names (``config.json`` / ``data.mmap``) remain read-compatible.
 
 Distributed adds plug in via :meth:`SketchRegistry.add_dataframe`, which
 runs the Spark two-phase build and merges the result into the named set.
@@ -34,6 +36,7 @@ runs the Spark two-phase build and merges the result into the named set.
 
 from __future__ import annotations
 
+import configparser
 import json
 import os
 import re
@@ -92,10 +95,49 @@ class SketchRegistry:
         return os.path.join(self.root, f"hlld.{name}")
 
     def _config_path(self, name: str) -> str:
-        return os.path.join(self._dir(name), "config.json")
+        # reference CONFIG_FILENAME (src/set.c:28)
+        return os.path.join(self._dir(name), "config.ini")
 
     def _data_path(self, name: str) -> str:
+        # reference DATA_FILE_NAME (src/set.c:22)
+        return os.path.join(self._dir(name), "registers.mmap")
+
+    def _legacy_config_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "config.json")
+
+    def _legacy_data_path(self, name: str) -> str:
         return os.path.join(self._dir(name), "data.mmap")
+
+    def _existing_data_path(self, name: str) -> str | None:
+        """registers.mmap (reference name) preferred; data.mmap (pre-r3
+        layout of this engine) read-compat."""
+        for p in (self._data_path(name), self._legacy_data_path(name)):
+            if os.path.exists(p):
+                return p
+        return None
+
+    def _read_config(self, name: str) -> dict | None:
+        """Read a set's config: ``config.ini`` in the reference's format
+        (keys as parsed by src/config.c:391-427: size / default_eps /
+        default_precision / in_memory under [hlld]), falling back to the
+        pre-r3 ``config.json``. Returns None when neither exists."""
+        ini = self._config_path(name)
+        if os.path.exists(ini):
+            cp = configparser.ConfigParser(strict=False)
+            cp.read(ini)
+            sec = cp["hlld"]
+            p = sec.getint("default_precision")
+            return {
+                "precision": p,
+                "eps": sec.getfloat("default_eps", fallback=hll.error_for_precision(p)),
+                "in_memory": bool(sec.getint("in_memory", fallback=0)),
+                "size": sec.getfloat("size", fallback=0.0),
+            }
+        legacy = self._legacy_config_path(name)
+        if os.path.exists(legacy):
+            with open(legacy) as f:
+                return json.load(f)
+        return None
 
     def _discover(self) -> None:
         """Restore registry state from disk (reference: faulted-in at boot,
@@ -106,11 +148,9 @@ class SketchRegistry:
             if not entry.startswith("hlld."):
                 continue
             name = entry[len("hlld.") :]
-            cfg_path = self._config_path(name)
-            if not os.path.exists(cfg_path):
+            cfg = self._read_config(name)
+            if cfg is None:
                 continue
-            with open(cfg_path) as f:
-                cfg = json.load(f)
             s = _Set(name, cfg["precision"], cfg["eps"], cfg.get("in_memory", False))
             s.size_cache = cfg.get("size", 0.0)
             self._sets[name] = s
@@ -179,14 +219,14 @@ class SketchRegistry:
         in_memory = bool(mem)
         actual_eps = e
         s = _Set(name, precision, actual_eps, in_memory)
-        existing_data = os.path.exists(self._data_path(name))
+        existing_data = self._existing_data_path(name) is not None
         if existing_data:
             # re-create over cleared (not dropped) files rediscovers state
             # (tests/test_setmgr.c:430-470)
-            with open(self._config_path(name)) as f:
-                cfg = json.load(f)
-            s.precision, s.eps = cfg["precision"], cfg["eps"]
-            s.size_cache = cfg.get("size", 0.0)
+            cfg = self._read_config(name)
+            if cfg is not None:
+                s.precision, s.eps = cfg["precision"], cfg["eps"]
+                s.size_cache = cfg.get("size", 0.0)
         else:
             s.registers = hll.new_registers(precision)
             s.dirty = True
@@ -208,8 +248,8 @@ class SketchRegistry:
     def _fault_in(self, s: _Set) -> None:
         if s.registers is not None:
             return
-        path = self._data_path(s.name)
-        if os.path.exists(path):
+        path = self._existing_data_path(s.name)
+        if path is not None:
             with open(path, "rb") as f:
                 s.registers = hll.from_hlld_bytes(f.read(), s.precision)
         else:
@@ -354,11 +394,19 @@ class SketchRegistry:
     # --- C9 flush ------------------------------------------------------------------
 
     def _write_config(self, s: _Set) -> None:
+        """Write ``config.ini`` byte-compatible with the reference's
+        update_filename_from_set_config (src/set.c:55-74: ``[hlld]`` with
+        size %llu / default_eps %f / default_precision %d / in_memory %d)
+        so a stock hlld daemon pointed at this data dir discovers and
+        serves sets flushed by this engine."""
         os.makedirs(self._dir(s.name), exist_ok=True)
         with open(self._config_path(s.name), "w") as f:
-            json.dump(
-                {"precision": s.precision, "eps": s.eps, "in_memory": s.in_memory, "size": s.size_cache},
-                f,
+            f.write(
+                "[hlld]\n"
+                f"size = {int(s.size_cache)}\n"
+                f"default_eps = {s.eps:f}\n"
+                f"default_precision = {s.precision}\n"
+                f"in_memory = {int(s.in_memory)}\n"
             )
 
     def flush(self, name: str | None = None) -> str:
@@ -367,7 +415,9 @@ class SketchRegistry:
             s = self._require(n)
             if s.in_memory or not s.dirty or s.registers is None:
                 continue  # idempotent when clean (src/set.c:166-168)
-            s.size_cache = hll.cardinality(s.registers, s.precision)
+            # reference caches the size as uint64 (set_config.size via
+            # hset_size, src/set.c:171,297-303) — truncate like C does
+            s.size_cache = int(hll.cardinality(s.registers, s.precision))
             os.makedirs(self._dir(n), exist_ok=True)
             with open(self._data_path(n), "wb") as f:
                 f.write(hll.to_hlld_bytes(s.registers))

@@ -131,11 +131,11 @@ def test_flush_writes_two_files_and_is_idempotent(reg, tmp_path):
     reg.bulk("f", [f"k{i}" for i in range(50)])
     reg.flush("f")
     d = os.path.join(str(tmp_path / "data"), "hlld.f")
-    assert sorted(os.listdir(d)) == ["config.json", "data.mmap"]
-    m1 = os.path.getmtime(os.path.join(d, "data.mmap"))
+    assert sorted(os.listdir(d)) == ["config.ini", "registers.mmap"]
+    m1 = os.path.getmtime(os.path.join(d, "registers.mmap"))
     reg.flush("f")  # clean → no rewrite (src/set.c:166-168)
-    assert os.path.getmtime(os.path.join(d, "data.mmap")) == m1
-    assert os.path.getsize(os.path.join(d, "data.mmap")) == hll.bytes_for_precision(12)
+    assert os.path.getmtime(os.path.join(d, "registers.mmap")) == m1
+    assert os.path.getsize(os.path.join(d, "registers.mmap")) == hll.bytes_for_precision(12)
 
 
 def test_persistence_roundtrip_identical_size(reg, tmp_path):
@@ -146,7 +146,9 @@ def test_persistence_roundtrip_identical_size(reg, tmp_path):
     assert 9900 < size_before < 10100
     reg.flush()
     reg2 = SketchRegistry(str(tmp_path / "data"))
-    assert reg2.info("pr")["size"] == size_before  # cached
+    # proxied reads serve the cached size, which the reference stores as
+    # uint64 (set_config.size, src/set.c:171) — %llu truncation expected
+    assert reg2.info("pr")["size"] == int(size_before)
     reg2.set("pr", "test0")  # idempotent add after fault-in
     assert reg2.info("pr")["size"] == size_before
 
@@ -157,7 +159,7 @@ def test_mmap_bytes_are_reference_layout(reg, tmp_path):
     reg.create("m", precision=10)
     reg.bulk("m", [f"test{i}" for i in range(1000)])
     reg.flush("m")
-    raw = open(os.path.join(str(tmp_path / "data"), "hlld.m", "data.mmap"), "rb").read()
+    raw = open(os.path.join(str(tmp_path / "data"), "hlld.m", "registers.mmap"), "rb").read()
     regs = hll.new_registers(10)
     hll.add_hashes(regs, hll_hash([f"test{i}" for i in range(1000)]), 10)
     assert raw == hll.to_hlld_bytes(regs)

@@ -156,7 +156,7 @@ def test_background_flush_thread(tmp_path):
         assert fh.readline() == "Done\n"
         s.sendall(b"bulk bg a b c d e\n")
         assert fh.readline() == "Done\n"
-        data = os.path.join(str(tmp_path / "d"), "hlld.bg", "data.mmap")
+        data = os.path.join(str(tmp_path / "d"), "hlld.bg", "registers.mmap")
         deadline = time.time() + 10
         while not os.path.exists(data) and time.time() < deadline:
             time.sleep(0.05)
