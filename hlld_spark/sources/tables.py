@@ -4,6 +4,14 @@ otherwise (identical schema + partitioning either way).
 The brief targets "Iceberg tables of Common-Crawl-style web pages"; this
 container has no Iceberg runtime jars, so the code feature-detects the
 catalog at session time (SURVEY.md §7) and falls back transparently.
+
+TEST STATUS OF THE ICEBERG BRANCH: the parquet fallback is
+integration-tested end-to-end; the Iceberg branch is CONTRACT-tested
+only (tests/test_tables.py pins the exact DataFrameWriterV2 sequence:
+writeTo → using("iceberg") → partitionedBy → createOrReplace/append, and
+the path-vs-catalog dispatch rules) because the runtime jars are absent
+here. On a real lakehouse, verify once with a smoke write before
+trusting overwrite semantics.
 Registry/sketch tables get snapshot-style semantics either way: Iceberg
 gives real snapshot isolation; the parquet fallback overwrites whole
 directories atomically-enough for the test-visible semantics

@@ -36,3 +36,102 @@ def test_append_mode(spark, tmp_path):
 def test_iceberg_detection_is_safe(spark):
     # in this container the Iceberg runtime is absent; detection must not raise
     assert iceberg_available(spark) in (True, False)
+
+
+# ---------------------------------------------------------------------------
+# Iceberg branch contract (VERDICT r2 #7): the container has no Iceberg
+# runtime jars, so the writeTo branch cannot be integration-tested here.
+# These contract tests pin the EXACT DataFrameWriterV2 call sequence the
+# branch issues (writeTo → using("iceberg") → partitionedBy →
+# createOrReplace/append) and the read/dispatch rules, so the branch is
+# not dark: any drift in the call protocol fails here, and a user on a
+# real lakehouse gets exactly this sequence.
+# ---------------------------------------------------------------------------
+
+
+class _RecordingWriter:
+    def __init__(self, calls):
+        self._calls = calls
+
+    def using(self, fmt):
+        self._calls.append(("using", fmt))
+        return self
+
+    def partitionedBy(self, *cols):
+        self._calls.append(("partitionedBy", tuple(str(c) for c in cols)))
+        return self
+
+    def createOrReplace(self):
+        self._calls.append(("createOrReplace",))
+
+    def append(self):
+        self._calls.append(("append",))
+
+
+class _RecordingDF:
+    sparkSession = object()
+
+    def __init__(self):
+        self.calls = []
+
+    def writeTo(self, target):
+        self.calls.append(("writeTo", target))
+        return _RecordingWriter(self.calls)
+
+
+def test_iceberg_write_contract_overwrite(monkeypatch):
+    from hlld_spark.sources import tables
+
+    monkeypatch.setattr(tables, "iceberg_available", lambda s: True)
+    df = _RecordingDF()
+    assert tables.write_table(df, "cat.db.pages", partition_by=["fetch_date"]) == "iceberg"
+    assert df.calls == [
+        ("writeTo", "cat.db.pages"),
+        ("using", "iceberg"),
+        ("partitionedBy", ("Column<'fetch_date'>",)),
+        ("createOrReplace",),
+    ]
+
+
+def test_iceberg_write_contract_append_unpartitioned(monkeypatch):
+    from hlld_spark.sources import tables
+
+    monkeypatch.setattr(tables, "iceberg_available", lambda s: True)
+    df = _RecordingDF()
+    assert tables.write_table(df, "cat.db.pages", mode="append") == "iceberg"
+    assert df.calls == [("writeTo", "cat.db.pages"), ("using", "iceberg"), ("append",)]
+
+
+def test_iceberg_dispatch_rules(monkeypatch, spark, tmp_path):
+    """Filesystem paths always take the parquet branch, even with an
+    Iceberg runtime present — path targets are not catalog tables."""
+    from hlld_spark.sources import tables
+
+    monkeypatch.setattr(tables, "iceberg_available", lambda s: True)
+    target = str(tmp_path / "pathy")
+    assert tables.write_table(spark.range(3), target) == "parquet"
+    # read side: path → parquet reader even when "iceberg available"
+    assert tables.read_table(spark, target).count() == 3
+
+
+def test_iceberg_read_contract(monkeypatch):
+    from hlld_spark.sources import tables
+
+    monkeypatch.setattr(tables, "iceberg_available", lambda s: True)
+
+    class _Reader:
+        def __init__(self, calls):
+            self._calls = calls
+
+        def table(self, name):
+            self._calls.append(("table", name))
+            return "DF"
+
+    class _Spark:
+        def __init__(self):
+            self.calls = []
+            self.read = _Reader(self.calls)
+
+    sp = _Spark()
+    assert tables.read_table(sp, "cat.db.pages") == "DF"
+    assert sp.calls == [("table", "cat.db.pages")]
