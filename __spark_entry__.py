@@ -443,6 +443,26 @@ def _q_lang_id_natural_disagreement(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_decontamination_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination with a FULL exact oracle: every 23rd
+    document plays the held-out benchmark; the operator flags corpus
+    docs sharing >=1 character 13-gram with it and counts matched
+    positions. Spark side probes a broadcast sorted-hash table inside
+    one mapInPandas (no corpus shuffle, no gram rows materialized —
+    operators/decontaminate.py); the oracle recomputes the same overlap
+    with string-equality joins in DuckDB."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.decontaminate import decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    return (
+        decontaminate(docs, ev, "doc_id", "text", n=13)
+        .select("doc_id", "n_matched_grams")
+        .orderBy("doc_id")
+    )
+
+
 _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
 
 
@@ -668,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "lang_id_disagreement": _q_lang_id_disagreement,
         "lang_id_natural_disagreement": _q_lang_id_natural_disagreement,
+        "decontamination_flagged": _q_decontamination_flagged,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
         "heavy_hitters_events": _q_heavy_hitters_events,
@@ -806,6 +827,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_natural_disagreement": """
             SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
                    CAST(NULL AS VARCHAR) AS lang_id WHERE 1 = 0
+        """,
+        "decontamination_flagged": """
+            WITH pos AS (SELECT i FROM generate_series(1, 100000) AS t(i)),
+            ev AS (SELECT DISTINCT SUBSTRING(d.text, p.i, 13) AS g
+                   FROM documents d JOIN pos p ON p.i <= LENGTH(d.text) - 12
+                   WHERE d.doc_id % 23 = 0),
+            dg AS (SELECT d.doc_id, SUBSTRING(d.text, p.i, 13) AS g
+                   FROM documents d JOIN pos p ON p.i <= LENGTH(d.text) - 12)
+            SELECT doc_id, COUNT(*) AS n_matched_grams
+            FROM dg JOIN ev USING (g)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "multimodal_features": f"""
             SELECT asset_id, kind, width, height, channels, sample_rate, n_samples, n_frames,

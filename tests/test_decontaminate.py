@@ -1,0 +1,106 @@
+"""Benchmark decontamination (n-gram overlap vs an eval set).
+
+Semantics pinned here: a doc is flagged iff it shares >=1 character
+n-gram with the eval set; n_matched_grams counts matched POSITIONS
+(occurrences); docs shorter than n are never flagged; the bloom method
+over-flags at most (never under-flags: every exact flag is a bloom flag).
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hlld_spark.operators.decontaminate import decontaminate, eval_gram_table
+
+
+def _corpus(spark):
+    rows = [
+        # 0: contains the eval phrase verbatim
+        (0, "training text with the forbidden benchmark passage inside it"),
+        # 1: clean
+        (1, "a perfectly ordinary document about gardens and rivers"),
+        # 2: contains a different eval phrase
+        (2, "prefix junk the quick brown fox jumps over suffix junk"),
+        # 3: shares only short overlaps (< n) with eval
+        (3, "benchmark"),  # 9 chars < 13: can never be flagged at n=13
+        # 4: clean, long
+        (4, "completely unrelated content " * 5),
+        # 5: duplicate of the contaminated doc 0
+        (5, "training text with the forbidden benchmark passage inside it"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _eval_set(spark):
+    return spark.createDataFrame(
+        [
+            (100, "the forbidden benchmark passage"),
+            (101, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "eval_id long, text string",
+    )
+
+
+def test_exact_flags(spark):
+    flagged = decontaminate(
+        _corpus(spark), _eval_set(spark), "doc_id", "text", n=13
+    )
+    got = {r["doc_id"]: r["n_matched_grams"] for r in flagged.collect()}
+    assert set(got) == {0, 2, 5}
+    # doc 0 and its duplicate doc 5 match identically
+    assert got[0] == got[5] > 0
+    # occurrence counts: doc 0 contains the 31-char eval phrase -> all
+    # 31-13+1 = 19 of its 13-grams appear in doc 0 (plus boundary grams
+    # are NOT counted: they include corpus context)
+    assert got[0] >= 19
+
+
+def test_short_docs_never_flagged(spark):
+    flagged = decontaminate(_corpus(spark), _eval_set(spark), "doc_id", "text", n=13)
+    assert 3 not in {r["doc_id"] for r in flagged.collect()}
+
+
+def test_keepers_join(spark):
+    docs = _corpus(spark)
+    flagged = decontaminate(docs, _eval_set(spark), "doc_id", "text", n=13)
+    keep = docs.join(flagged, "doc_id", "left_anti")
+    assert sorted(r["doc_id"] for r in keep.collect()) == [1, 3, 4]
+
+
+def test_bloom_superset_of_exact(spark):
+    docs = _corpus(spark)
+    ev = _eval_set(spark)
+    exact = {r["doc_id"] for r in decontaminate(docs, ev, "doc_id", "text", n=13).collect()}
+    bloom = {
+        r["doc_id"]
+        for r in decontaminate(docs, ev, "doc_id", "text", n=13, method="bloom").collect()
+    }
+    assert exact <= bloom  # bloom may over-flag, never under-flag
+
+
+def test_no_contamination_empty(spark):
+    docs = spark.createDataFrame([(0, "nothing shared here at all")], "doc_id long, text string")
+    ev = spark.createDataFrame([(1, "entirely disjoint evaluation content")], "eval_id long, text string")
+    assert decontaminate(docs, ev, "doc_id", "text", n=13).count() == 0
+
+
+def test_eval_gram_table_shape_and_cap(spark):
+    ev = _eval_set(spark)
+    t = eval_gram_table(ev, "text", n=13)
+    assert t.dtype == np.uint64
+    assert np.all(t[:-1] <= t[1:])
+    # phrase lens 31 and 44 -> 19 + 32 grams, minus any dup
+    assert 45 <= len(t) <= 51
+    with pytest.raises(ValueError):
+        eval_gram_table(ev, "text", n=13, max_eval_grams=10)
+
+
+def test_unicode_grams(spark):
+    """Code-point grams: CJK eval text matches despite multi-byte utf-8."""
+    docs = spark.createDataFrame(
+        [(0, "前置き今朝は天気が寒くて通りは静かでした後書き"), (1, "全く関係のない内容です完全に")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(9, "今朝は天気が寒くて通りは静か")], "eval_id long, text string")
+    flagged = decontaminate(docs, ev, "doc_id", "text", n=8)
+    assert {r["doc_id"] for r in flagged.collect()} == {0}
