@@ -104,3 +104,14 @@ def test_unicode_grams(spark):
     ev = spark.createDataFrame([(9, "今朝は天気が寒くて通りは静か")], "eval_id long, text string")
     flagged = decontaminate(docs, ev, "doc_id", "text", n=8)
     assert {r["doc_id"] for r in flagged.collect()} == {0}
+
+
+def test_no_corpus_exchange_in_plan(spark):
+    """The scale claim, plan-asserted: flagging is ONE mapInPandas over
+    the corpus scan — no Exchange anywhere in the probe plan (the eval
+    table is broadcast as a driver variable, not joined)."""
+    docs = _corpus(spark)
+    flagged = decontaminate(docs, _eval_set(spark), "doc_id", "text", n=13)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert plan.count("PythonMapInPandas") + plan.count("MapInPandas") >= 1
