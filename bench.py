@@ -184,6 +184,38 @@ def main():
     extras["verify_pairs_per_sec"] = round(n_pairs / timings["q10_jaccard_verify_pairs"], 1)
     extras["verify_pairs_n"] = int(n_pairs)
 
+    # q11: natural-text language ID (round-3 trigram-profile path) over
+    # the same deterministic ~1M-doc sample as q8 — pins profile-scoring
+    # throughput next to the marker fast-path's
+    from hlld_spark.operators.lang_profiles import with_lang_id_profiles
+
+    with_lang_id_profiles(sample.limit(20000), "text").groupBy("lang_id").count().collect()  # warm
+    n_prof = [0]
+
+    def q11():
+        n_prof[0] = (
+            with_lang_id_profiles(sample, "text")
+            .groupBy("lang_id")
+            .agg(F.count("*").alias("n"))
+            .agg(F.sum("n"))
+            .collect()[0][0]
+        )
+
+    timed("q11_lang_profiles_web", q11)
+    extras["profile_lang_docs_per_sec"] = round(n_prof[0] / timings["q11_lang_profiles_web"], 1)
+
+    # q12: benchmark decontamination of the FULL 4M-row corpus against a
+    # ~2k-doc eval set (13-gram overlap, broadcast sorted-hash probe —
+    # one mapInPandas pass, zero corpus exchange)
+    from hlld_spark.operators.decontaminate import decontaminate
+
+    ev = web.filter(F.pmod(F.xxhash64("url"), F.lit(2048)) == 0).select("text")
+    timed(
+        "q12_decontaminate_web",
+        lambda: decontaminate(web, ev, "url", "text", n=13).count(),
+    )
+    extras["decon_docs_per_sec"] = round(WEB_ROWS / timings["q12_decontaminate_web"], 1)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     # per-query deltas vs the previous round's recorded bench (VERDICT

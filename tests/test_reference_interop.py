@@ -133,7 +133,14 @@ def test_bitexact_registers_both_directions(readmmap, tmp_path):
 
 _READINI_C = r"""
 #include <stdio.h>
+#include <stdint.h>
+#include "hll.h"
 #include "config.h"
+/* link stubs: config parsing never touches these */
+int bitmap_close(hlld_bitmap *map) { (void)map; return 0; }
+void MurmurHash3_x64_128(const void *key, const int len, const uint32_t seed, void *out) {
+    (void)key; (void)len; (void)seed; (void)out;
+}
 int main(int argc, char **argv) {
     if (argc != 2) return 2;
     hlld_set_config c;
@@ -158,7 +165,7 @@ def readini():
     exe = os.path.join(d, "readini")
     try:
         subprocess.run(
-            ["gcc", "-O2", "-std=gnu99", src,
+            ["gcc", "-O2", "-std=gnu99", "-D_GNU_SOURCE", src,
              f"{REF}/src/config.c", f"{REF}/src/hll.c", f"{REF}/src/hll_constants.c",
              f"{REF}/deps/inih/ini.c",
              f"-I{REF}/src", f"-I{REF}/deps/inih", "-o", exe, "-lm"],
