@@ -155,14 +155,28 @@ def decontaminate(
 
         else:
             sorted_hashes = np.frombuffer(probe_state.value, dtype=np.uint64)
+            # cheap prefilter: a 2^24-slot byte mask over the hash low
+            # bits turns ~97% of probes into ONE vectorized byte load —
+            # searchsorted (binary search, ~20 dependent loads/needle)
+            # runs only on the survivors. Byte-identical result.
+            _MASK_BITS = 24
+            _MASK = np.uint64((1 << _MASK_BITS) - 1)
+            prefilter = np.zeros(1 << _MASK_BITS, dtype=np.uint8)
+            prefilter[(sorted_hashes & _MASK).astype(np.int64)] = 1
 
             def member(h: np.ndarray) -> np.ndarray:
-                if len(sorted_hashes) == 0:
-                    return np.zeros(len(h), dtype=bool)
-                pos = np.minimum(
-                    np.searchsorted(sorted_hashes, h), len(sorted_hashes) - 1
-                )
-                return sorted_hashes[pos] == h
+                out = np.zeros(len(h), dtype=bool)
+                if len(sorted_hashes) == 0 or len(h) == 0:
+                    return out
+                maybe = prefilter[(h & _MASK).astype(np.int64)].view(bool)
+                idx = np.flatnonzero(maybe)
+                if len(idx):
+                    hh = h[idx]
+                    pos = np.minimum(
+                        np.searchsorted(sorted_hashes, hh), len(sorted_hashes) - 1
+                    )
+                    out[idx] = sorted_hashes[pos] == hh
+                return out
 
         for pdf in batches:
             texts = pdf[text_col]
