@@ -443,6 +443,23 @@ def _q_lang_id_natural_disagreement(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals with a FULL exact oracle:
+    pure-Catalyst distinct-token counting (array_distinct on the split —
+    no explode, no shuffle) vs DuckDB's list_distinct on the same
+    regex split. dup_line_ratio omitted from the gate (fixture docs are
+    single-line: constant 0)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.text import with_repetition_signals
+
+    d = _load(spark, sf_dir, "documents")
+    return (
+        with_repetition_signals(d, "text")
+        .select("doc_id", "n_words", "n_distinct_words", "dup_word_ratio")
+        .orderBy("doc_id")
+    )
+
+
 def _q_decontamination_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination with a FULL exact oracle: every 23rd
     document plays the held-out benchmark; the operator flags corpus
@@ -689,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_disagreement": _q_lang_id_disagreement,
         "lang_id_natural_disagreement": _q_lang_id_natural_disagreement,
         "decontamination_flagged": _q_decontamination_flagged,
+        "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
         "heavy_hitters_events": _q_heavy_hitters_events,
@@ -827,6 +845,17 @@ def oracle_sql() -> dict[str, str]:
         "lang_id_natural_disagreement": """
             SELECT CAST(NULL AS BIGINT) AS doc_id, CAST(NULL AS VARCHAR) AS lang,
                    CAST(NULL AS VARCHAR) AS lang_id WHERE 1 = 0
+        """,
+        "repetition_signals": r"""
+            SELECT doc_id,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')) END AS n_words,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                        ELSE LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) END AS n_distinct_words,
+                   CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0.0
+                        ELSE ROUND(1.0 - LEN(LIST_DISTINCT(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+'))) * 1.0
+                                   / LEN(REGEXP_SPLIT_TO_ARRAY(TRIM(text), '\s+')), 6) END AS dup_word_ratio
+            FROM documents ORDER BY doc_id
         """,
         "decontamination_flagged": """
             WITH pos AS (SELECT i FROM generate_series(1, 100000) AS t(i)),

@@ -157,13 +157,20 @@ def _profile_lang_batch(texts: pd.Series, min_score: float = 1e-4) -> pd.Series:
     per_doc = offsets[1:] - offsets[:-1]  # compacted hashes per doc
     n_matched = np.zeros(n_docs, dtype=np.int64)
     if len(h):
-        doc_idx = np.repeat(np.arange(n_docs), per_doc)
         pos = np.searchsorted(hashes, h)
         pos = np.minimum(pos, len(hashes) - 1)
         matched = hashes[pos] == h
         if matched.any():
-            np.add.at(scores, doc_idx[matched], weights[pos[matched]])
-            np.add.at(n_matched, doc_idx[matched], 1)
+            # hashes are per-doc contiguous, so the matched stream is too:
+            # accumulate with reduceat over doc boundaries (contiguous
+            # sums) instead of np.add.at scatter (buffered, ~10x slower)
+            n_matched = np.add.reduceat(matched.astype(np.int64), offsets[:-1])
+            n_matched = np.where(per_doc > 0, n_matched, 0)
+            W = weights[pos[matched]]
+            starts = np.concatenate(([0], np.cumsum(n_matched)))[:-1]
+            docs_with = n_matched > 0
+            if docs_with.any():
+                scores[docs_with] = np.add.reduceat(W, starts[docs_with], axis=0)
     scores /= np.maximum(per_doc, 1)[:, None]
     best_j = scores.argmax(axis=1)
     best = scores[np.arange(n_docs), best_j]

@@ -76,6 +76,51 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# repetition signals — pure Catalyst (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def with_repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals, all JVM-side (zero
+    Python, zero shuffle, whole-stage-codegen):
+
+    * ``n_words`` / ``n_distinct_words`` — whitespace tokens and their
+      distinct count (``array_distinct`` on the split, no explode)
+    * ``dup_word_ratio`` — fraction of tokens that repeat an earlier
+      token; the classic "duplicate word fraction" repetition filter
+    * ``dup_line_ratio`` — same over newline-split lines (boilerplate /
+      template detection); 0.0 for single-line docs
+
+    Heavy repetition (ratio near 1) marks low-quality generated or
+    templated text — filter with e.g. ``dup_word_ratio < 0.7``."""
+    t = F.col(text_col)
+    empty = F.length(F.trim(t)) == 0
+    words = F.split(F.trim(t), r"\s+")
+    n_words = F.when(empty, F.lit(0)).otherwise(F.size(words))
+    n_distinct = F.when(empty, F.lit(0)).otherwise(F.size(F.array_distinct(words)))
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines)
+    n_distinct_lines = F.size(F.array_distinct(lines))
+    df = (
+        df.withColumn("n_words", n_words)
+        .withColumn("n_distinct_words", n_distinct)
+        .withColumn(
+            "dup_word_ratio",
+            F.round(
+                F.when(n_words > 0, 1.0 - n_distinct / n_words).otherwise(F.lit(0.0)), 6
+            ),
+        )
+        .withColumn(
+            "dup_line_ratio",
+            F.round(
+                F.when(n_lines > 0, 1.0 - n_distinct_lines / n_lines).otherwise(F.lit(0.0)), 6
+            ),
+        )
+    )
+    return df
+
+
+# ---------------------------------------------------------------------------
 # language ID — n-gram profile heuristic (Arrow-batched)
 # ---------------------------------------------------------------------------
 

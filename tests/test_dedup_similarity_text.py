@@ -647,3 +647,29 @@ def test_minhash_hot_bucket_overflow_recall(spark):
     got = {r["id"]: r["keeper_id"] for r in out.collect()}
     assert all(got[i] == 0 for i in range(32)), {i: got[i] for i in range(32) if got[i] != 0}
     assert all(got[100 + i] == 100 + i for i in range(10))
+
+
+def test_repetition_signals(spark):
+    """Gopher-style repetition signals: exact ratios, edge cases, and
+    the zero-Python/zero-shuffle plan claim."""
+    from hlld_spark.operators.text import with_repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a"),                      # 4 words, 1 distinct
+            (1, "one two three four"),            # no repetition
+            (2, ""),                              # empty
+            (3, "x"),                             # single word
+            (4, "line\nline\nother"),             # duplicate lines
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in with_repetition_signals(df).collect()}
+    assert rows[0]["n_words"] == 4 and rows[0]["n_distinct_words"] == 1
+    assert rows[0]["dup_word_ratio"] == 0.75
+    assert rows[1]["dup_word_ratio"] == 0.0
+    assert rows[2]["n_words"] == 0 and rows[2]["dup_word_ratio"] == 0.0
+    assert rows[3]["dup_word_ratio"] == 0.0
+    assert rows[4]["dup_line_ratio"] == pytest.approx(1 - 2 / 3, abs=1e-6)
+    plan = with_repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
