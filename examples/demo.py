@@ -87,6 +87,27 @@ with_quality_score(with_token_counts(web.limit(1000))).select(
 ).show(3)
 with_lang_id(web.limit(20000), "text").groupBy("lang_id").count().orderBy(F.desc("count")).show(3)
 
+print("== 8a. natural-text language ID (trigram profiles) + repetition signals")
+from hlld_spark.operators.lang_profiles import EVAL_SENTENCES, with_lang_id_profiles
+from hlld_spark.operators.text import with_repetition_signals
+
+nat = spark.createDataFrame(
+    [(lang, s) for lang, ss in EVAL_SENTENCES.items() for s in ss], "lang string, text string"
+)
+with_lang_id_profiles(nat, "text").groupBy("lang", "lang_id").count().filter(
+    "lang != lang_id"
+).show(3)  # empty: 50/50 held-out natural sentences correct
+with_repetition_signals(web.limit(1000)).select(
+    "n_words", "n_distinct_words", "dup_word_ratio"
+).show(3)
+
+print("== 8c. benchmark decontamination: flag docs sharing a 13-gram with an eval set")
+from hlld_spark.operators.decontaminate import decontaminate
+
+eval_docs = web.filter(F.pmod(F.xxhash64("url"), F.lit(512)) == 0).select("text")
+flagged = decontaminate(web.limit(50000), eval_docs, "url", "text", n=13)
+print("   flagged:", flagged.count(), "of 50000 (eval drawn from the corpus, so hits exist)")
+
 print("== 8b. heavy hitters: hosts with >=1% of pages, exact counts")
 from hlld_spark.operators.frequent import heavy_hitters
 
