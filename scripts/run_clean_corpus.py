@@ -1,0 +1,163 @@
+"""spark-submit entrypoint: end-to-end training-corpus cleaning pipeline.
+
+Chains this engine's training-data operators over a web-page table in
+the order a real pretraining pipeline runs them — each stage is a
+DataFrame transform, so Catalyst fuses what it can and the whole job is
+one lineage:
+
+    1. exact dedup          (content-hash min-id keepers, payload-free shuffle)
+    2. near-dup dedup       (MinHash LSH + pairwise bucket verify) [optional]
+    3. decontamination      (n-gram overlap vs an eval/benchmark table) [optional]
+    4. quality + repetition (pure-Catalyst scores, thresholds)
+    5. language filter      (trigram-profile natural-text lang-id) [optional]
+
+Writes the cleaned table (Iceberg when available, partitioned parquet
+otherwise) plus a metrics JSON with per-stage row counts and removal
+fractions — the numbers a data curator actually reports.
+
+Usage (cluster):
+    spark-submit --py-files hlld_spark.zip scripts/run_clean_corpus.py \
+        --input s3://bucket/web_pages --id-col url --text-col text \
+        --eval-table s3://bucket/benchmarks --near-dup \
+        --langs en,es,de --output /out/clean --metrics /out/metrics.json
+
+Usage (local smoke):
+    python scripts/run_clean_corpus.py --input /tmp/web --output /tmp/clean --cpus 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="web-page table (path or catalog name)")
+    ap.add_argument("--id-col", default="url")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", default=None, help="metrics JSON path (default: <output>_metrics.json)")
+    ap.add_argument("--near-dup", action="store_true", help="also MinHash-LSH near-dup dedup")
+    ap.add_argument("--eval-table", default=None, help="benchmark table to decontaminate against")
+    ap.add_argument("--eval-text-col", default=None)
+    ap.add_argument("--decontaminate-n", type=int, default=13)
+    ap.add_argument("--min-quality", type=float, default=0.3)
+    ap.add_argument("--max-dup-word-ratio", type=float, default=0.7)
+    ap.add_argument("--langs", default=None, help="comma-separated lang allowlist (profile lang-id)")
+    ap.add_argument("--partition-by", default=None, help="comma-separated output partition columns")
+    ap.add_argument("--cpus", type=int, default=None, help="local mode cores (omit under spark-submit)")
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from hlld_spark.session import get_spark, ship_package
+    from hlld_spark.sources.tables import read_table, write_table
+
+    spark = get_spark(app_name="clean-corpus", cpus=args.cpus)
+    ship_package(spark)
+
+    from hlld_spark.operators.dedup import dedup_exact, minhash_lsh_dedup
+    from hlld_spark.operators.decontaminate import decontaminate
+    from hlld_spark.operators.lang_profiles import with_lang_id_profiles
+    from hlld_spark.operators.text import with_quality_score, with_repetition_signals
+
+    t0 = time.time()
+    metrics: dict = {"input": args.input, "stages": []}
+
+    def stage(name: str, df, note: str = ""):
+        n = df.count()
+        prev = metrics["stages"][-1]["rows"] if metrics["stages"] else None
+        entry = {"stage": name, "rows": n, "note": note}
+        if prev:
+            entry["removed"] = prev - n
+            entry["removed_frac"] = round((prev - n) / prev, 6) if prev else 0.0
+        metrics["stages"].append(entry)
+        print(f"[clean-corpus] {name}: {n} rows" + (f" (-{entry.get('removed', 0)})" if prev else ""))
+        return df
+
+    docs = read_table(spark, args.input)
+    docs = stage("input", docs)
+
+    # 1. exact dedup — keeper = min id per content hash
+    docs = stage(
+        "exact_dedup",
+        dedup_exact(docs, args.id_col, [args.text_col]).cache(),
+        "content-hash min-id keepers",
+    )
+
+    # 2. near-dup dedup (optional)
+    if args.near_dup:
+        labels = minhash_lsh_dedup(docs, args.id_col, args.text_col)
+        keepers = labels.filter(F.col("id") == F.col("keeper_id")).select(
+            F.col("id").alias(args.id_col)
+        )
+        docs = stage(
+            "near_dup_dedup",
+            docs.join(keepers, args.id_col, "left_semi").cache(),
+            "MinHash LSH + pairwise verify",
+        )
+
+    # 3. decontamination (optional)
+    if args.eval_table:
+        ev = read_table(spark, args.eval_table)
+        flagged = decontaminate(
+            docs,
+            ev,
+            args.id_col,
+            args.text_col,
+            eval_text_col=args.eval_text_col,
+            n=args.decontaminate_n,
+        )
+        docs = stage(
+            "decontaminate",
+            docs.join(flagged.select(args.id_col), args.id_col, "left_anti").cache(),
+            f"{args.decontaminate_n}-gram overlap vs {args.eval_table}",
+        )
+
+    # 4. quality + repetition thresholds (pure Catalyst — no extra pass)
+    docs = with_repetition_signals(with_quality_score(docs, args.text_col), args.text_col)
+    docs = stage(
+        "quality_filter",
+        docs.filter(
+            (F.col("quality_score") >= args.min_quality)
+            & (F.col("dup_word_ratio") <= args.max_dup_word_ratio)
+        ),
+        f"quality>={args.min_quality}, dup_word_ratio<={args.max_dup_word_ratio}",
+    )
+
+    # 5. language allowlist (optional)
+    if args.langs:
+        allow = [x.strip() for x in args.langs.split(",") if x.strip()]
+        docs = stage(
+            "lang_filter",
+            with_lang_id_profiles(docs, args.text_col).filter(F.col("lang_id").isin(allow)),
+            f"allow {allow}",
+        )
+
+    fmt = write_table(
+        docs,
+        args.output,
+        partition_by=args.partition_by.split(",") if args.partition_by else None,
+    )
+    metrics["output"] = args.output
+    metrics["format"] = fmt
+    metrics["wall_sec"] = round(time.time() - t0, 3)
+    if metrics["stages"]:
+        first, last = metrics["stages"][0]["rows"], metrics["stages"][-1]["rows"]
+        metrics["kept_frac"] = round(last / first, 6) if first else 0.0
+
+    mpath = args.metrics or (args.output.rstrip("/") + "_metrics.json")
+    with open(mpath, "w") as f:
+        json.dump(metrics, f, indent=2)
+    print(f"[clean-corpus] done in {metrics['wall_sec']}s; kept {metrics.get('kept_frac')} → {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

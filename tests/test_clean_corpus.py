@@ -1,0 +1,62 @@
+"""End-to-end cleaning pipeline (scripts/run_clean_corpus.py): the
+stages compose, the metrics JSON is coherent, and each stage removes
+exactly what its operator semantics promise."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.mark.spark
+def test_pipeline_end_to_end(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    # corpus: exact dups, a near-dup pair, a contaminated doc, junk
+    rows = [
+        (0, "the weather was cold this morning and the streets were quiet today"),
+        (1, "the weather was cold this morning and the streets were quiet today"),  # exact dup of 0
+        (2, "the weather was cold this morning and the streets were quiet indeed"),  # near-dup of 0
+        (3, "she said that they would arrive at the station before noon with the others"),
+        (4, "contains the secret benchmark passage nobody should train on at all here"),
+        (5, "zz zz zz zz zz zz zz zz zz zz zz zz"),  # repetition junk
+        (6, "el tiempo estaba frío esta mañana y las calles estaban tranquilas hoy"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame(
+        [(0, "the secret benchmark passage nobody should train on")], "i long, text string"
+    ).write.parquet(ev)
+
+    out = str(tmp_path / "clean")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", inp, "--id-col", "doc_id", "--text-col", "text",
+            "--near-dup", "--eval-table", ev,
+            "--min-quality", "0.0", "--max-dup-word-ratio", "0.5",
+            "--langs", "en,es",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.load(open(metrics_path))
+    stages = {s["stage"]: s for s in m["stages"]}
+    assert stages["input"]["rows"] == 7
+    assert stages["exact_dedup"]["rows"] == 6          # doc 1 gone
+    assert stages["near_dup_dedup"]["rows"] == 5        # doc 2 gone
+    assert stages["decontaminate"]["rows"] == 4         # doc 4 gone
+    assert stages["quality_filter"]["rows"] == 3        # doc 5 gone (dup_word_ratio ~0.92)
+    assert stages["lang_filter"]["rows"] == 3           # en/es all pass
+    kept = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [0, 3, 6]
+    assert m["format"] == "parquet"
+    assert 0 < m["kept_frac"] < 1
