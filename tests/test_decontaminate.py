@@ -115,3 +115,21 @@ def test_no_corpus_exchange_in_plan(spark):
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert plan.count("PythonMapInPandas") + plan.count("MapInPandas") >= 1
+
+
+def test_partitioning_invariance(spark):
+    """Flags and occurrence counts are identical however the corpus is
+    partitioned — batch boundaries and task layout must not leak into
+    results (the kernel masks cross-doc grams per batch)."""
+    docs = _corpus(spark)
+    ev = _eval_set(spark)
+    base = sorted(
+        (r["doc_id"], r["n_matched_grams"])
+        for r in decontaminate(docs, ev, "doc_id", "text", n=13).collect()
+    )
+    for parts in (1, 3, 7):
+        got = sorted(
+            (r["doc_id"], r["n_matched_grams"])
+            for r in decontaminate(docs.repartition(parts), ev, "doc_id", "text", n=13).collect()
+        )
+        assert got == base, parts
