@@ -17,14 +17,20 @@ asymmetry:
   ``mapInPandas`` pass, each Arrow batch is shingle-hashed with the same
   vectorized code-point kernel minhash uses
   (``dedup._char_shingle_hashes``) and probed against the broadcast
-  table with ``np.searchsorted`` — only ``(id, n_matched)`` leaves the
-  worker. No shuffle of corpus data at all; the only exchange is the
-  (tiny) flagged-id set if the caller dedups/joins afterwards.
+  table — a 2^24-slot byte-mask prefilter resolves ~97% of probes with
+  one vectorized load, searchsorted runs only on survivors. Only
+  ``(id, n_matched)`` leaves the worker: no corpus shuffle at all
+  (plan-asserted in tests).
 * ``method="bloom"`` swaps the sorted array for this engine's own Bloom
   filter (``core.bloom``) built over the eval hashes: ~10x smaller
   broadcast at a documented false-positive rate. Bloom errors only
   OVER-flag (drop a clean doc), never under-flag — the safe direction
   for decontamination.
+* :func:`decontaminate_parquet` is the scan-dominated scale path: the
+  same probe riding the worker-side pyarrow scan
+  (``sources.parquet_scan.map_parquet_batches``), dodging the measured
+  ~5.4M rows/s JVM→Python Arrow-IPC ceiling exactly like
+  ``build_sketches_parquet`` does.
 
 Hash-match vs string-match: grams are compared by 64-bit splitmix-
 finalized poly hashes, so a collision could over-flag a document
@@ -41,7 +47,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import LongType, StructField, StructType
 
 from .dedup import _char_shingle_hashes, _splitmix
@@ -95,6 +101,82 @@ def eval_gram_table(
     return np.sort(np.array([r[0] for r in rows], dtype=np.int64).view(np.uint64))
 
 
+def _probe_blob(spark: SparkSession, table: np.ndarray, method: str, bloom_fpr: float):
+    """Broadcast the eval-side probe structure; returns the handle."""
+    if method == "bloom":
+        from ..core.bloom import BloomAccumulator, BloomSpec
+
+        acc = BloomAccumulator()
+        spec = BloomSpec.for_capacity(max(len(table), 1), bloom_fpr)
+        state = acc.zero(spec)
+        h1, h2 = _bloom_pair(table)
+        acc._add(state, h1, h2, spec)
+        return spark.sparkContext.broadcast(acc.serialize(state, spec))
+    if method == "exact":
+        return spark.sparkContext.broadcast(table.tobytes())
+    raise ValueError(f"unknown method {method!r}")
+
+
+def _make_member(method: str, blob: bytes):
+    """Build the vectorized membership fn from the broadcast payload —
+    called once per task."""
+    if method == "bloom":
+        from ..core.bloom import BloomAccumulator as _Acc
+        from ..core.bloom import _positions
+
+        state_l, spec_l = _Acc().deserialize(blob)
+
+        def member(h: np.ndarray) -> np.ndarray:
+            if len(h) == 0:
+                return np.zeros(0, dtype=bool)
+            h1, h2 = _bloom_pair(h)
+            pos = _positions(h1, h2, spec_l.hashes, spec_l.bits)
+            return state_l[pos].all(axis=0)
+
+        return member
+
+    sorted_hashes = np.frombuffer(blob, dtype=np.uint64)
+    # cheap prefilter: a 2^24-slot byte mask over the hash low bits turns
+    # ~97% of probes into ONE vectorized byte load — searchsorted (binary
+    # search, ~20 dependent loads/needle) runs only on the survivors.
+    # Byte-identical result.
+    _MASK_BITS = 24
+    _MASK = np.uint64((1 << _MASK_BITS) - 1)
+    prefilter = np.zeros(1 << _MASK_BITS, dtype=np.uint8)
+    prefilter[(sorted_hashes & _MASK).astype(np.int64)] = 1
+
+    def member(h: np.ndarray) -> np.ndarray:
+        out = np.zeros(len(h), dtype=bool)
+        if len(sorted_hashes) == 0 or len(h) == 0:
+            return out
+        maybe = prefilter[(h & _MASK).astype(np.int64)].view(bool)
+        idx = np.flatnonzero(maybe)
+        if len(idx):
+            hh = h[idx]
+            pos = np.minimum(np.searchsorted(sorted_hashes, hh), len(sorted_hashes) - 1)
+            out[idx] = sorted_hashes[pos] == hh
+        return out
+
+    return member
+
+
+def _flag_batch(member, texts: pd.Series, n: int) -> np.ndarray:
+    """Per-doc matched-gram occurrence counts for one batch."""
+    lens = texts.map(lambda t: len(t) if isinstance(t, str) else 0).values
+    h, offsets = _char_shingle_hashes(texts, n)
+    if not len(h):
+        return np.zeros(len(texts), dtype=np.int64)
+    hits = member(h)
+    # zero out short docs' whole-doc sentinel hash
+    short = np.flatnonzero(lens < n)
+    for d in short:
+        hits[int(offsets[d]) : int(offsets[d + 1])] = False
+    # the kernel emits >=1 hash per doc (short docs get a whole-doc
+    # sentinel, masked above), so offsets are strictly increasing and
+    # reduceat is well-defined per doc
+    return np.add.reduceat(hits.astype(np.int64), offsets[:-1])
+
+
 def decontaminate(
     docs: DataFrame,
     eval_df: DataFrame,
@@ -111,7 +193,7 @@ def decontaminate(
     Returns (id_col, n_matched_grams) for flagged docs only. Keepers =
     ``docs.join(flagged, id_col, "left_anti")``.
 
-    method="exact": broadcast sorted hash array, searchsorted probe.
+    method="exact": broadcast sorted hash array, prefiltered searchsorted.
     method="bloom": broadcast this engine's Bloom over the eval hashes
     (~10 bits/gram at fpr 1e-3) — smaller broadcast, may over-flag at
     the documented fpr, never under-flags.
@@ -119,82 +201,16 @@ def decontaminate(
     eval_text_col = eval_text_col or text_col
     spark = docs.sparkSession
     table = eval_gram_table(eval_df, eval_text_col, n, max_eval_grams)
-
-    if method == "bloom":
-        from ..core.bloom import BloomAccumulator, BloomSpec
-
-        acc = BloomAccumulator()
-        spec = BloomSpec.for_capacity(max(len(table), 1), bloom_fpr)
-        state = acc.zero(spec)
-        h1, h2 = _bloom_pair(table)
-        acc._add(state, h1, h2, spec)
-        probe_state = spark.sparkContext.broadcast(acc.serialize(state, spec))
-    elif method == "exact":
-        probe_state = spark.sparkContext.broadcast(table.tobytes())
-    else:
-        raise ValueError(f"unknown method {method!r}")
+    probe_state = _probe_blob(spark, table, method, bloom_fpr)
 
     schema = StructType(
         [docs.schema[id_col], StructField("n_matched_grams", LongType(), False)]
     )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        if method == "bloom":
-            from ..core.bloom import BloomAccumulator as _Acc
-            from ..core.bloom import _positions
-
-            _acc = _Acc()
-            state_l, spec_l = _acc.deserialize(probe_state.value)
-
-            def member(h: np.ndarray) -> np.ndarray:
-                if len(h) == 0:
-                    return np.zeros(0, dtype=bool)
-                h1, h2 = _bloom_pair(h)
-                pos = _positions(h1, h2, spec_l.hashes, spec_l.bits)
-                return state_l[pos].all(axis=0)
-
-        else:
-            sorted_hashes = np.frombuffer(probe_state.value, dtype=np.uint64)
-            # cheap prefilter: a 2^24-slot byte mask over the hash low
-            # bits turns ~97% of probes into ONE vectorized byte load —
-            # searchsorted (binary search, ~20 dependent loads/needle)
-            # runs only on the survivors. Byte-identical result.
-            _MASK_BITS = 24
-            _MASK = np.uint64((1 << _MASK_BITS) - 1)
-            prefilter = np.zeros(1 << _MASK_BITS, dtype=np.uint8)
-            prefilter[(sorted_hashes & _MASK).astype(np.int64)] = 1
-
-            def member(h: np.ndarray) -> np.ndarray:
-                out = np.zeros(len(h), dtype=bool)
-                if len(sorted_hashes) == 0 or len(h) == 0:
-                    return out
-                maybe = prefilter[(h & _MASK).astype(np.int64)].view(bool)
-                idx = np.flatnonzero(maybe)
-                if len(idx):
-                    hh = h[idx]
-                    pos = np.minimum(
-                        np.searchsorted(sorted_hashes, hh), len(sorted_hashes) - 1
-                    )
-                    out[idx] = sorted_hashes[pos] == hh
-                return out
-
+        member = _make_member(method, probe_state.value)
         for pdf in batches:
-            texts = pdf[text_col]
-            lens = texts.map(lambda t: len(t) if isinstance(t, str) else 0).values
-            h, offsets = _char_shingle_hashes(texts, n)
-            hits = member(h) if len(h) else np.zeros(0, dtype=bool)
-            # zero out short docs' whole-doc sentinel hash
-            short = np.flatnonzero(lens < n)
-            for d in short:
-                hits[int(offsets[d]) : int(offsets[d + 1])] = False
-            # the kernel emits >=1 hash per doc (short docs get a
-            # whole-doc sentinel, masked above), so offsets are strictly
-            # increasing and reduceat is well-defined per doc
-            per_doc = (
-                np.add.reduceat(hits.astype(np.int64), offsets[:-1])
-                if len(h)
-                else np.zeros(len(pdf), dtype=np.int64)
-            )
+            per_doc = _flag_batch(member, pdf[text_col], n)
             flagged = per_doc > 0
             if flagged.any():
                 yield pd.DataFrame(
@@ -205,3 +221,57 @@ def decontaminate(
                 )
 
     return docs.select(id_col, text_col).mapInPandas(probe, schema)
+
+
+def decontaminate_parquet(
+    spark: SparkSession,
+    path: str,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    eval_text_col: str | None = None,
+    n: int = 13,
+    method: str = "exact",
+    bloom_fpr: float = 0.001,
+    max_eval_grams: int = 20_000_000,
+    filter=None,
+    batch_rows: int = 32768,
+    files_per_task: int | None = None,
+) -> DataFrame:
+    """:func:`decontaminate` with the corpus scan moved INTO the Python
+    workers (``map_parquet_batches``): the driver plans file/row-group
+    splits, each task reads only (id, text) with pyarrow (column-pruned,
+    filters pushed) and probes in place. Same results as the DataFrame
+    path on the same table (equivalence-tested); use when the corpus
+    scan dominates — the generic DataFrame path pays the shared-JVM
+    Arrow-IPC ceiling (~5.4M rows/s measured here) that this path dodges,
+    exactly like ``build_sketches_parquet``."""
+    import pyarrow as pa
+
+    from ..sources.parquet_scan import map_parquet_batches
+
+    eval_text_col = eval_text_col or text_col
+    table = eval_gram_table(eval_df, eval_text_col, n, max_eval_grams)
+    probe_state = _probe_blob(spark, table, method, bloom_fpr)
+
+    id_field = spark.read.parquet(path).schema[id_col]
+    schema = StructType([id_field, StructField("n_matched_grams", LongType(), False)])
+
+    def fn(batches):
+        member = _make_member(method, probe_state.value)
+        for rb in batches:
+            pdf = rb.to_pandas()
+            per_doc = _flag_batch(member, pdf[text_col], n)
+            flagged = per_doc > 0
+            if flagged.any():
+                out = pd.DataFrame(
+                    {
+                        id_col: pdf[id_col].values[flagged],
+                        "n_matched_grams": per_doc[flagged],
+                    }
+                )
+                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return map_parquet_batches(
+        spark, path, fn, schema, [id_col, text_col], filter, batch_rows, files_per_task
+    )

@@ -133,3 +133,23 @@ def test_partitioning_invariance(spark):
             for r in decontaminate(docs.repartition(parts), ev, "doc_id", "text", n=13).collect()
         )
         assert got == base, parts
+
+
+def test_parquet_path_equivalence(spark, tmp_path):
+    """decontaminate_parquet (worker-side scan) returns exactly the
+    DataFrame path's flags and counts on the same table."""
+    from hlld_spark.operators.decontaminate import decontaminate_parquet
+
+    p = str(tmp_path / "docs.parquet")
+    _corpus(spark).write.parquet(p)
+    docs = spark.read.parquet(p)
+    ev = _eval_set(spark)
+    base = sorted(
+        (r["doc_id"], r["n_matched_grams"])
+        for r in decontaminate(docs, ev, "doc_id", "text", n=13).collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_matched_grams"])
+        for r in decontaminate_parquet(spark, p, ev, "doc_id", "text", n=13).collect()
+    )
+    assert got == base and len(got) == 3
