@@ -1,0 +1,66 @@
+"""SQL-facing text/cleaning functions: register once, then use from
+``spark.sql`` — exposes the training-data text layer to SQL users.
+
+    register_text_functions(spark)
+    spark.sql("SELECT url, lang_id(text), lang_id_profiles(text) FROM pages")
+    spark.sql("SELECT ngram_jaccard(a, b, 3) FROM pairs")
+
+Functions:
+
+    lang_id(text) → string            marker/script heuristic (synthetic
+                                      fast-path, operators/text.py)
+    lang_id_profiles(text) → string   natural-text trigram-profile ID
+                                      (operators/lang_profiles.py)
+    ngram_jaccard(a, b, n) → double   exact char-n-gram Jaccard of a pair
+                                      (hashed kernel; the LSH verify path)
+
+All are Arrow-batched pandas UDFs over the same whole-batch kernels the
+DataFrame operators use — no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession, functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+
+@F.pandas_udf(StringType())
+def _lang_id(texts: pd.Series) -> pd.Series:
+    from ..operators.text import _lang_id_batch
+
+    return _lang_id_batch(texts)
+
+
+@F.pandas_udf(StringType())
+def _lang_id_profiles(texts: pd.Series) -> pd.Series:
+    from ..operators.lang_profiles import _profile_lang_batch
+
+    return _profile_lang_batch(texts)
+
+
+@F.pandas_udf(DoubleType())
+def _ngram_jaccard(a: pd.Series, b: pd.Series, n: pd.Series) -> pd.Series:
+    from ..operators.dedup import _char_shingle_hashes
+
+    if len(a) == 0:
+        return pd.Series([], dtype=float)
+    k = int(n.iloc[0])  # n is a literal in practice; per-batch constant
+    ha, oa = _char_shingle_hashes(a.fillna(""), k)
+    hb, ob = _char_shingle_hashes(b.fillna(""), k)
+    out = np.zeros(len(a))
+    for i in range(len(a)):
+        sx = np.unique(ha[oa[i] : oa[i + 1]])
+        sy = np.unique(hb[ob[i] : ob[i + 1]])
+        inter = len(np.intersect1d(sx, sy, assume_unique=True))
+        union = len(sx) + len(sy) - inter
+        out[i] = inter / union if union else 1.0
+    return pd.Series(out)
+
+
+def register_text_functions(spark: SparkSession) -> None:
+    """Idempotent registration of the SQL text-function surface."""
+    spark.udf.register("lang_id", _lang_id)
+    spark.udf.register("lang_id_profiles", _lang_id_profiles)
+    spark.udf.register("ngram_jaccard", _ngram_jaccard)

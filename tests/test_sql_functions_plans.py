@@ -113,3 +113,25 @@ def test_sql_quantile(spark, sf_dir):
     build_sketches(ev, [], "user_id", HllSpec(12)).createOrReplaceTempView("sk_h")
     with _pt.raises(Exception, match="no quantiles|PythonException"):
         spark.sql("SELECT sketch_quantile(sketch, 0.5) FROM sk_h").collect()
+
+
+def test_text_sql_functions(spark):
+    """SQL surface over the text layer: lang_id, lang_id_profiles,
+    ngram_jaccard usable from plain spark.sql."""
+    from hlld_spark.functions.text_sql import register_text_functions
+
+    register_text_functions(spark)
+    spark.createDataFrame(
+        [
+            ("the of and to in is that it the and", "El tiempo estaba frío esta mañana."),
+            ("abcde", "abcdx"),
+        ],
+        "a string, b string",
+    ).createOrReplaceTempView("t_textfn")
+    rows = spark.sql(
+        "SELECT lang_id(a) AS m, lang_id_profiles(b) AS p, "
+        "ROUND(ngram_jaccard(a, b, 3), 4) AS j FROM t_textfn"
+    ).collect()
+    assert rows[0]["m"] == "en" and rows[0]["p"] == "es"
+    # 'abcde' vs 'abcdx': 3-grams {abc,bcd,cde} vs {abc,bcd,cdx} -> 2/4
+    assert rows[1]["j"] == 0.5
