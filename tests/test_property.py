@@ -166,3 +166,38 @@ def test_misra_gries_error_bound_property(items, capacity, batch_size):
         got = counters.get(it, 0)
         assert got <= tc
         assert got >= tc - n / capacity - 1e-9, (it, got, tc, n, capacity)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.text(alphabet="abc х日 ", min_size=0, max_size=30), min_size=1, max_size=15),
+    st.lists(st.text(alphabet="abc х日 ", min_size=0, max_size=20), min_size=1, max_size=4),
+    st.integers(min_value=2, max_value=6),
+)
+def test_decontaminate_kernel_matches_bruteforce(corpus, evals, n):
+    """The decontamination probe (shingle kernel + prefiltered
+    searchsorted membership + per-doc reduceat) counts EXACTLY the
+    n-gram occurrences a brute-force python substring scan counts —
+    including short docs, empty docs, unicode, and doc boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from hlld_spark.operators.decontaminate import _flag_batch, _make_member
+    from hlld_spark.operators.dedup import _char_shingle_hashes
+
+    # eval gram hashes, driver-side (mirrors _gram_hashes_df's masking)
+    h, offsets = _char_shingle_hashes(pd.Series(evals), n)
+    keep = np.ones(len(h), dtype=bool)
+    for d, e in enumerate(evals):
+        if len(e) < n:
+            keep[int(offsets[d]) : int(offsets[d + 1])] = False
+    table = np.sort(np.unique(h[keep]))
+    member = _make_member("exact", table.tobytes())
+    counts = _flag_batch(member, pd.Series(corpus), n)
+
+    ev_grams = {e[i : i + n] for e in evals for i in range(len(e) - n + 1)}
+    for doc, c in zip(corpus, counts):
+        expect = sum(
+            1 for i in range(max(len(doc) - n + 1, 0)) if doc[i : i + n] in ev_grams
+        )
+        assert c == expect, (doc, n, c, expect)
