@@ -461,20 +461,38 @@ def _q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_decontamination_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination with a FULL exact oracle: every 23rd
-    document plays the held-out benchmark; the operator flags corpus
-    docs sharing >=1 character 13-gram with it and counts matched
-    positions. Spark side probes a broadcast sorted-hash table inside
-    one mapInPandas (no corpus shuffle, no gram rows materialized —
-    operators/decontaminate.py); the oracle recomputes the same overlap
-    with string-equality joins in DuckDB."""
+    """Benchmark decontamination (character unit) with a FULL exact
+    oracle: every 23rd document plays the held-out benchmark; the
+    operator flags corpus docs sharing >=1 character 13-gram with it and
+    counts matched positions. Spark side probes a broadcast sorted-hash
+    table inside one mapInPandas (no corpus shuffle, no gram rows
+    materialized — operators/decontaminate.py); the oracle recomputes
+    the same overlap with string-equality joins in DuckDB."""
     _ensure_shipped(spark)
     from hlld_spark.operators.decontaminate import decontaminate
 
     docs = _load(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 23 == 0)
     return (
-        decontaminate(docs, ev, "doc_id", "text", n=13)
+        decontaminate(docs, ev, "doc_id", "text", n=13, unit="char")
+        .select("doc_id", "n_matched_grams")
+        .orderBy("doc_id")
+    )
+
+
+def _q_decontamination_flagged_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination in the DEFAULT token unit — the
+    published GPT-3-appendix / Llama 13-TOKEN-gram rule (VERDICT r3 #1)
+    — with a FULL exact occurrence-count oracle: the DuckDB side
+    materializes every 13-token window (regexp split + list slicing)
+    and string-joins it against the eval windows."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.decontaminate import decontaminate
+
+    docs = _load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    return (
+        decontaminate(docs, ev, "doc_id", "text", n=13, unit="token")
         .select("doc_id", "n_matched_grams")
         .orderBy("doc_id")
     )
@@ -706,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_disagreement": _q_lang_id_disagreement,
         "lang_id_natural_disagreement": _q_lang_id_natural_disagreement,
         "decontamination_flagged": _q_decontamination_flagged,
+        "decontamination_flagged_tokens": _q_decontamination_flagged_tokens,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -864,6 +883,24 @@ def oracle_sql() -> dict[str, str]:
                    WHERE d.doc_id % 23 = 0),
             dg AS (SELECT d.doc_id, SUBSTRING(d.text, p.i, 13) AS g
                    FROM documents d JOIN pos p ON p.i <= LENGTH(d.text) - 12)
+            SELECT doc_id, COUNT(*) AS n_matched_grams
+            FROM dg JOIN ev USING (g)
+            GROUP BY doc_id ORDER BY doc_id
+        """,
+        "decontamination_flagged_tokens": r"""
+            WITH toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM documents
+            ),
+            ev AS (
+              SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+              FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 11)) AS i) w
+              WHERE doc_id % 23 = 0 AND len(t) >= 13
+            ),
+            dg AS (
+              SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+              FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 11)) AS i) w
+              WHERE len(t) >= 13
+            )
             SELECT doc_id, COUNT(*) AS n_matched_grams
             FROM dg JOIN ev USING (g)
             GROUP BY doc_id ORDER BY doc_id

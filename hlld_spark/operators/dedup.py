@@ -254,6 +254,81 @@ def _char_shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarr
     return hc, offsets_out
 
 
+def _u64_window_hashes(
+    stream: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Length-k window poly hashes over an arbitrary uint64 stream with
+    per-doc ``offsets`` — the windowing half of ``_char_shingle_hashes``
+    generalized so TOKEN-hash streams shingle through the exact same
+    code path (strided multiply-adds, boundary masking, one-sentinel
+    short docs, splitmix finalization). Docs with fewer than k elements
+    emit ONE whole-doc sentinel hash; returns (hashes, out_offsets)."""
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    total = int(offsets[-1])
+    n_pos = max(total - k + 1, 0)
+    h = np.zeros(n_pos, dtype=np.uint64)
+    for j in range(k):
+        np.multiply(h, _POLY_B, out=h)
+        np.add(h, stream[j : n_pos + j], out=h)
+    valid = np.ones(n_pos, dtype=bool)
+    if n_pos:
+        bad = (offsets[1:, None] - np.arange(1, k, dtype=np.int64)[None, :]).ravel()
+        bad = bad[(bad >= 0) & (bad < n_pos)]
+        valid[bad] = False
+    counts = np.maximum(lens - k + 1, 0)
+    hc = _splitmix(h[valid]) if n_pos else np.zeros(0, dtype=np.uint64)
+    shorts = np.flatnonzero(lens < k)
+    if len(shorts):
+        sbuf, sbounds = _gather_segments(stream, offsets[shorts], lens[shorts])
+        short_hashes = _splitmix(_segment_poly_hashes(sbuf, sbounds[:-1], sbounds[1:]))
+        counts2 = counts.copy()
+        counts2[shorts] = 1
+        out_off = np.concatenate(([0], np.cumsum(counts2)))
+        out = np.empty(int(out_off[-1]), dtype=np.uint64)
+        long_slots = np.ones(len(out), dtype=bool)
+        long_slots[out_off[shorts]] = False
+        out[out_off[shorts]] = short_hashes
+        out[long_slots] = hc
+        return out, out_off
+    return hc, np.concatenate(([0], np.cumsum(counts)))
+
+
+def _token_shingle_hashes(
+    texts: pd.Series, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """All n-TOKEN shingle hashes per doc (tokens = ``str.split()``
+    whitespace words, the GPT-3-appendix / Llama 13-gram unit), plus
+    per-doc offsets and per-doc token counts.
+
+    Fully vectorized after tokenization: docs are single-space
+    normalized and encoded once; every token is segment-hashed in one
+    prefix-scan pass (``_segment_poly_hashes``) — token boundaries come
+    from one ``buf == ' '`` scan, since normalized tokens can't contain
+    whitespace — then splitmixed token hashes shingle through the same
+    windowing kernel char mode uses (``_u64_window_hashes``). Two token
+    windows hash equal iff their token sequences are equal (up to 64-bit
+    collisions, like every hashed path here). Docs with fewer than n
+    tokens emit ONE sentinel hash — callers mask slot offsets[d] exactly
+    as in char mode.
+    """
+    toks_per_doc = [t.split() if isinstance(t, str) else [] for t in texts]
+    ntoks = np.fromiter((len(x) for x in toks_per_doc), dtype=np.int64, count=len(toks_per_doc))
+    enc = [" ".join(x).encode("utf-32-le") for x in toks_per_doc]
+    lens = np.fromiter((len(b) >> 2 for b in enc), dtype=np.int64, count=len(enc))
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    # token boundaries: every 0x20 in the normalized buffer separates two
+    # tokens of ONE doc; non-empty docs contribute their start/end
+    space_idx = np.flatnonzero(buf == _U64(0x20))
+    nz = ntoks > 0
+    starts = np.sort(np.concatenate([offsets[:-1][nz], space_idx + 1]))
+    ends = np.sort(np.concatenate([space_idx, offsets[1:][nz]]))
+    tok_h = _splitmix(_segment_poly_hashes(buf, starts, ends))
+    doc_tok_off = np.concatenate(([0], np.cumsum(ntoks)))
+    h, out_off = _u64_window_hashes(tok_h, doc_tok_off, n)
+    return h, out_off, ntoks
+
+
 def _minhash_signatures(texts: pd.Series, num_perm: int, k: int, seed: int = 1) -> np.ndarray:
     """(n_docs, num_perm) uint64 minhash signatures, vectorized: one
     shingle-hash pass + num_perm affine mixes with minimum.reduceat."""

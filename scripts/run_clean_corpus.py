@@ -47,6 +47,12 @@ def main() -> None:
     ap.add_argument("--eval-table", default=None, help="benchmark table to decontaminate against")
     ap.add_argument("--eval-text-col", default=None)
     ap.add_argument("--decontaminate-n", type=int, default=13)
+    ap.add_argument(
+        "--decontaminate-unit",
+        default="token",
+        choices=["token", "char"],
+        help="n-gram unit: token (the published 13-token rule, default) or char",
+    )
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--max-dup-word-ratio", type=float, default=0.7)
     ap.add_argument("--langs", default=None, help="comma-separated lang allowlist (profile lang-id)")
@@ -113,11 +119,12 @@ def main() -> None:
             args.text_col,
             eval_text_col=args.eval_text_col,
             n=args.decontaminate_n,
+            unit=args.decontaminate_unit,
         )
         docs = stage(
             "decontaminate",
             docs.join(flagged.select(args.id_col), args.id_col, "left_anti").cache(),
-            f"{args.decontaminate_n}-gram overlap vs {args.eval_table}",
+            f"{args.decontaminate_n}-{args.decontaminate_unit}-gram overlap vs {args.eval_table}",
         )
 
     # 4. quality + repetition thresholds (pure Catalyst — no extra pass)

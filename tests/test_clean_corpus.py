@@ -1,6 +1,12 @@
 """End-to-end cleaning pipeline (scripts/run_clean_corpus.py): the
 stages compose, the metrics JSON is coherent, and each stage removes
-exactly what its operator semantics promise."""
+exactly what its operator semantics promise.
+
+Round 4: the decontaminate stage runs in the TOKEN unit (the published
+13-token-gram rule) by default — the planted doc containing a 14-token
+eval passage verbatim is removed, while a char-gram near-miss (shares a
+long character run but only a 5-token window with the eval set) is
+RETAINED, which the old char unit would have over-flagged."""
 
 import json
 import os
@@ -11,27 +17,32 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# 14 tokens -> two 13-token grams; any doc containing it verbatim is flagged
+_EVAL_PASSAGE = (
+    "the secret benchmark passage nobody should ever train on during any run of preparation"
+)
+
 
 @pytest.mark.spark
 def test_pipeline_end_to_end(spark, tmp_path):
-    from pyspark.sql import functions as F
-
-    # corpus: exact dups, a near-dup pair, a contaminated doc, junk
+    # corpus: exact dups, a near-dup pair, a token-contaminated doc, a
+    # char-gram near-miss, junk, and a non-English keeper
     rows = [
         (0, "the weather was cold this morning and the streets were quiet today"),
         (1, "the weather was cold this morning and the streets were quiet today"),  # exact dup of 0
         (2, "the weather was cold this morning and the streets were quiet indeed"),  # near-dup of 0
         (3, "she said that they would arrive at the station before noon with the others"),
-        (4, "contains the secret benchmark passage nobody should train on at all here"),
+        (4, f"header words then {_EVAL_PASSAGE} and a trailing bit"),  # planted token-13-gram
         (5, "zz zz zz zz zz zz zz zz zz zz zz zz"),  # repetition junk
         (6, "el tiempo estaba frío esta mañana y las calles estaban tranquilas hoy"),
+        # 7: shares a 35-char run ("the secret benchmark passage nobody")
+        #    with the eval set but only a 5-token window -> token-clean
+        (7, "we mention the secret benchmark passage nobody else discusses in ordinary essays"),
     ]
     inp = str(tmp_path / "docs")
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
     ev = str(tmp_path / "eval")
-    spark.createDataFrame(
-        [(0, "the secret benchmark passage nobody should train on")], "i long, text string"
-    ).write.parquet(ev)
+    spark.createDataFrame([(0, _EVAL_PASSAGE)], "i long, text string").write.parquet(ev)
 
     out = str(tmp_path / "clean")
     metrics_path = str(tmp_path / "metrics.json")
@@ -50,13 +61,15 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert r.returncode == 0, r.stderr[-2000:]
     m = json.load(open(metrics_path))
     stages = {s["stage"]: s for s in m["stages"]}
-    assert stages["input"]["rows"] == 7
-    assert stages["exact_dedup"]["rows"] == 6          # doc 1 gone
-    assert stages["near_dup_dedup"]["rows"] == 5        # doc 2 gone
-    assert stages["decontaminate"]["rows"] == 4         # doc 4 gone
-    assert stages["quality_filter"]["rows"] == 3        # doc 5 gone (dup_word_ratio ~0.92)
-    assert stages["lang_filter"]["rows"] == 3           # en/es all pass
+    assert stages["input"]["rows"] == 8
+    assert stages["exact_dedup"]["rows"] == 7          # doc 1 gone
+    assert stages["near_dup_dedup"]["rows"] == 6        # doc 2 gone
+    # token unit: planted doc 4 gone, char-near-miss doc 7 RETAINED
+    assert stages["decontaminate"]["rows"] == 5
+    assert "13-token-gram" in stages["decontaminate"]["note"]
+    assert stages["quality_filter"]["rows"] == 4        # doc 5 gone (dup_word_ratio ~0.92)
+    assert stages["lang_filter"]["rows"] == 4           # en/es all pass
     kept = spark.read.parquet(out)
-    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [0, 3, 6]
+    assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [0, 3, 6, 7]
     assert m["format"] == "parquet"
     assert 0 < m["kept_frac"] < 1

@@ -43,7 +43,7 @@ def _eval_set(spark):
 
 def test_exact_flags(spark):
     flagged = decontaminate(
-        _corpus(spark), _eval_set(spark), "doc_id", "text", n=13
+        _corpus(spark), _eval_set(spark), "doc_id", "text", n=13, unit="char"
     )
     got = {r["doc_id"]: r["n_matched_grams"] for r in flagged.collect()}
     assert set(got) == {0, 2, 5}
@@ -56,13 +56,13 @@ def test_exact_flags(spark):
 
 
 def test_short_docs_never_flagged(spark):
-    flagged = decontaminate(_corpus(spark), _eval_set(spark), "doc_id", "text", n=13)
+    flagged = decontaminate(_corpus(spark), _eval_set(spark), "doc_id", "text", n=13, unit="char")
     assert 3 not in {r["doc_id"] for r in flagged.collect()}
 
 
 def test_keepers_join(spark):
     docs = _corpus(spark)
-    flagged = decontaminate(docs, _eval_set(spark), "doc_id", "text", n=13)
+    flagged = decontaminate(docs, _eval_set(spark), "doc_id", "text", n=13, unit="char")
     keep = docs.join(flagged, "doc_id", "left_anti")
     assert sorted(r["doc_id"] for r in keep.collect()) == [1, 3, 4]
 
@@ -70,10 +70,10 @@ def test_keepers_join(spark):
 def test_bloom_superset_of_exact(spark):
     docs = _corpus(spark)
     ev = _eval_set(spark)
-    exact = {r["doc_id"] for r in decontaminate(docs, ev, "doc_id", "text", n=13).collect()}
+    exact = {r["doc_id"] for r in decontaminate(docs, ev, "doc_id", "text", n=13, unit="char").collect()}
     bloom = {
         r["doc_id"]
-        for r in decontaminate(docs, ev, "doc_id", "text", n=13, method="bloom").collect()
+        for r in decontaminate(docs, ev, "doc_id", "text", n=13, method="bloom", unit="char").collect()
     }
     assert exact <= bloom  # bloom may over-flag, never under-flag
 
@@ -86,13 +86,13 @@ def test_no_contamination_empty(spark):
 
 def test_eval_gram_table_shape_and_cap(spark):
     ev = _eval_set(spark)
-    t = eval_gram_table(ev, "text", n=13)
+    t = eval_gram_table(ev, "text", n=13, unit="char")
     assert t.dtype == np.uint64
     assert np.all(t[:-1] <= t[1:])
     # phrase lens 31 and 44 -> 19 + 32 grams, minus any dup
     assert 45 <= len(t) <= 51
     with pytest.raises(ValueError):
-        eval_gram_table(ev, "text", n=13, max_eval_grams=10)
+        eval_gram_table(ev, "text", n=13, max_eval_grams=10, unit="char")
 
 
 def test_unicode_grams(spark):
@@ -102,7 +102,7 @@ def test_unicode_grams(spark):
         "doc_id long, text string",
     )
     ev = spark.createDataFrame([(9, "今朝は天気が寒くて通りは静か")], "eval_id long, text string")
-    flagged = decontaminate(docs, ev, "doc_id", "text", n=8)
+    flagged = decontaminate(docs, ev, "doc_id", "text", n=8, unit="char")
     assert {r["doc_id"] for r in flagged.collect()} == {0}
 
 
@@ -125,12 +125,14 @@ def test_partitioning_invariance(spark):
     ev = _eval_set(spark)
     base = sorted(
         (r["doc_id"], r["n_matched_grams"])
-        for r in decontaminate(docs, ev, "doc_id", "text", n=13).collect()
+        for r in decontaminate(docs, ev, "doc_id", "text", n=13, unit="char").collect()
     )
     for parts in (1, 3, 7):
         got = sorted(
             (r["doc_id"], r["n_matched_grams"])
-            for r in decontaminate(docs.repartition(parts), ev, "doc_id", "text", n=13).collect()
+            for r in decontaminate(
+                docs.repartition(parts), ev, "doc_id", "text", n=13, unit="char"
+            ).collect()
         )
         assert got == base, parts
 
@@ -146,10 +148,150 @@ def test_parquet_path_equivalence(spark, tmp_path):
     ev = _eval_set(spark)
     base = sorted(
         (r["doc_id"], r["n_matched_grams"])
+        for r in decontaminate(docs, ev, "doc_id", "text", n=13, unit="char").collect()
+    )
+    got = sorted(
+        (r["doc_id"], r["n_matched_grams"])
+        for r in decontaminate_parquet(spark, p, ev, "doc_id", "text", n=13, unit="char").collect()
+    )
+    assert got == base and len(got) == 3
+
+
+# ---------------------------------------------------------------------------
+# token-mode (the DEFAULT unit — the published 13-token rule, VERDICT r3 #1)
+# ---------------------------------------------------------------------------
+
+_EVAL_PASSAGE = (
+    "the committee concluded that the proposed method outperforms every "
+    "baseline on all three held out evaluation suites by a wide margin"
+)  # 21 tokens
+
+
+def _token_corpus(spark):
+    filler = "wholly unrelated filler words " * 5
+    rows = [
+        # 0: contains the 21-token eval passage verbatim, with context
+        (0, f"intro context {_EVAL_PASSAGE} trailing context here"),
+        # 1: clean, long
+        (1, ("ordinary training document about gardens rivers and mountains " * 3).strip()),
+        # 2: same passage but with messy whitespace (tabs, runs of spaces,
+        #    newline) — token grams must normalize identically
+        (2, "intro\tcontext  " + _EVAL_PASSAGE.replace(" method ", " method\n ") + "  end"),
+        # 3: shares a 12-token prefix of the passage only (< n=13) inside
+        #    a long doc -> never flagged at n=13
+        (3, filler + " ".join(_EVAL_PASSAGE.split()[:12]) + " " + filler),
+        # 4: only 12 tokens total, all from the passage -> too short
+        (4, " ".join(_EVAL_PASSAGE.split()[:12])),
+        # 5: character-level overlap but different tokenization: the
+        #    first 14 passage tokens with "outperforms every" fused, so
+        #    neither fragment reaches 13 shared tokens -> token-clean,
+        #    but the 7-token shared prefix (~45 chars) char-flags
+        (5, filler + " ".join(
+            _EVAL_PASSAGE.split()[:7]
+            + ["".join(_EVAL_PASSAGE.split()[7:9])]
+            + _EVAL_PASSAGE.split()[9:14]
+        ) + " " + filler),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _token_eval(spark):
+    return spark.createDataFrame(
+        [(100, _EVAL_PASSAGE), (101, "a second unrelated benchmark prompt nobody shares")],
+        "eval_id long, text string",
+    )
+
+
+def test_token_mode_is_default_and_flags(spark):
+    flagged = decontaminate(_token_corpus(spark), _token_eval(spark), "doc_id", "text", n=13)
+    got = {r["doc_id"]: r["n_matched_grams"] for r in flagged.collect()}
+    # 21-token passage -> 21-13+1 = 9 token 13-grams, all present in 0 and 2
+    assert got == {0: 9, 2: 9}
+
+
+def test_token_whitespace_normalization(spark):
+    """Tabs / space runs / newlines tokenize identically (str.split)."""
+    flagged = decontaminate(_token_corpus(spark), _token_eval(spark), "doc_id", "text", n=13)
+    got = {r["doc_id"]: r["n_matched_grams"] for r in flagged.collect()}
+    assert got[0] == got[2]
+
+
+def test_token_short_overlap_not_flagged(spark):
+    """12-token overlap (< n) and sub-token character overlap are clean."""
+    flagged = decontaminate(_token_corpus(spark), _token_eval(spark), "doc_id", "text", n=13)
+    ids = {r["doc_id"] for r in flagged.collect()}
+    assert 3 not in ids and 4 not in ids and 5 not in ids
+
+
+def test_token_char_modes_differ_as_documented(spark):
+    """The same corpus under unit='char' over-flags (doc 3/5 share long
+    character runs) — the r3 finding the token default fixes."""
+    char_ids = {
+        r["doc_id"]
+        for r in decontaminate(
+            _token_corpus(spark), _token_eval(spark), "doc_id", "text", n=13, unit="char"
+        ).collect()
+    }
+    assert {3, 5} <= char_ids  # char mode flags the sub-13-token overlaps
+    token_ids = {
+        r["doc_id"]
+        for r in decontaminate(_token_corpus(spark), _token_eval(spark), "doc_id", "text", n=13).collect()
+    }
+    assert token_ids == {0, 2}
+
+
+def test_token_eval_gram_table_shape(spark):
+    t = eval_gram_table(_token_eval(spark), "text", n=13, unit="token")
+    # 21 tokens -> 9 grams; 7-token prompt -> 0 grams
+    assert len(t) == 9
+    t3 = eval_gram_table(_token_eval(spark), "text", n=3, unit="token")
+    assert len(t3) == 19 + 5  # (21-2) + (7-2), all distinct
+
+
+def test_token_bloom_superset(spark):
+    docs, ev = _token_corpus(spark), _token_eval(spark)
+    exact = {r["doc_id"] for r in decontaminate(docs, ev, "doc_id", "text", n=13).collect()}
+    bloom = {
+        r["doc_id"]
+        for r in decontaminate(docs, ev, "doc_id", "text", n=13, method="bloom").collect()
+    }
+    assert exact <= bloom
+
+
+def test_token_partitioning_invariance(spark):
+    docs, ev = _token_corpus(spark), _token_eval(spark)
+    base = sorted(
+        (r["doc_id"], r["n_matched_grams"])
+        for r in decontaminate(docs, ev, "doc_id", "text", n=13).collect()
+    )
+    for parts in (1, 3, 7):
+        got = sorted(
+            (r["doc_id"], r["n_matched_grams"])
+            for r in decontaminate(docs.repartition(parts), ev, "doc_id", "text", n=13).collect()
+        )
+        assert got == base, parts
+
+
+def test_token_parquet_path_equivalence(spark, tmp_path):
+    from hlld_spark.operators.decontaminate import decontaminate_parquet
+
+    p = str(tmp_path / "docs_tok.parquet")
+    _token_corpus(spark).write.parquet(p)
+    docs = spark.read.parquet(p)
+    ev = _token_eval(spark)
+    base = sorted(
+        (r["doc_id"], r["n_matched_grams"])
         for r in decontaminate(docs, ev, "doc_id", "text", n=13).collect()
     )
     got = sorted(
         (r["doc_id"], r["n_matched_grams"])
         for r in decontaminate_parquet(spark, p, ev, "doc_id", "text", n=13).collect()
     )
-    assert got == base and len(got) == 3
+    assert got == base and len(got) == 2
+
+
+def test_token_no_corpus_exchange_in_plan(spark):
+    """Token mode keeps the zero-corpus-Exchange plan shape."""
+    flagged = decontaminate(_token_corpus(spark), _token_eval(spark), "doc_id", "text", n=13)
+    plan = flagged._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -201,3 +201,39 @@ def test_decontaminate_kernel_matches_bruteforce(corpus, evals, n):
             1 for i in range(max(len(doc) - n + 1, 0)) if doc[i : i + n] in ev_grams
         )
         assert c == expect, (doc, n, c, expect)
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(st.text(alphabet="ab х\t\n ", min_size=0, max_size=40), min_size=1, max_size=15),
+    st.lists(st.text(alphabet="ab х\t\n ", min_size=0, max_size=30), min_size=1, max_size=4),
+    st.integers(min_value=2, max_value=4),
+)
+def test_decontaminate_token_kernel_matches_bruteforce(corpus, evals, n):
+    """Token-mode decontamination (round 4, the published 13-gram unit)
+    counts EXACTLY the token n-gram occurrences a brute-force python
+    split()-window scan counts — across whitespace runs, empty docs,
+    docs shorter than n tokens, unicode, and doc boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from hlld_spark.operators.decontaminate import _flag_batch, _make_member, _shingle
+
+    h, offsets, units = _shingle(pd.Series(evals), n, "token")
+    keep = np.ones(len(h), dtype=bool)
+    keep[offsets[:-1][units < n]] = False
+    table = np.sort(np.unique(h[keep]))
+    member = _make_member("exact", table.tobytes())
+    counts = _flag_batch(member, pd.Series(corpus), n, unit="token")
+
+    ev_grams = {
+        tuple(e.split()[i : i + n])
+        for e in evals
+        for i in range(len(e.split()) - n + 1)
+    }
+    for doc, c in zip(corpus, counts):
+        toks = doc.split()
+        expect = sum(
+            1 for i in range(max(len(toks) - n + 1, 0)) if tuple(toks[i : i + n]) in ev_grams
+        )
+        assert c == expect, (doc, n, c, expect)
