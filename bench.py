@@ -184,25 +184,33 @@ def main():
     extras["verify_pairs_per_sec"] = round(n_pairs / timings["q10_jaccard_verify_pairs"], 1)
     extras["verify_pairs_n"] = int(n_pairs)
 
-    # q11: natural-text language ID (round-3 trigram-profile path) over
-    # the same deterministic ~1M-doc sample as q8 — pins profile-scoring
-    # throughput next to the marker fast-path's
-    from hlld_spark.operators.lang_profiles import with_lang_id_profiles
+    # q11: natural-text language ID (trigram-profile path) over the FULL
+    # corpus via the worker-side parquet scan (r4, VERDICT r3 #6 —
+    # lang_id_profiles_parquet rides the same splits as q12's
+    # decontaminate_parquet, dodging the Arrow-IPC ceiling the r3
+    # DataFrame-path bench paid). Renamed from q11_lang_profiles_web:
+    # the input is now all WEB_ROWS docs, not the ~1M-doc q8 sample, so
+    # seconds aren't comparable across rounds — profile_lang_docs_per_sec
+    # is the comparable number.
+    from hlld_spark.operators.lang_profiles import (
+        lang_id_profiles_parquet,
+        with_lang_id_profiles,
+    )
 
     with_lang_id_profiles(sample.limit(20000), "text").groupBy("lang_id").count().collect()  # warm
     n_prof = [0]
 
     def q11():
         n_prof[0] = (
-            with_lang_id_profiles(sample, "text")
+            lang_id_profiles_parquet(spark, web_dir, "text")
             .groupBy("lang_id")
             .agg(F.count("*").alias("n"))
             .agg(F.sum("n"))
             .collect()[0][0]
         )
 
-    timed("q11_lang_profiles_web", q11)
-    extras["profile_lang_docs_per_sec"] = round(n_prof[0] / timings["q11_lang_profiles_web"], 1)
+    timed("q11_lang_profiles_parquet", q11)
+    extras["profile_lang_docs_per_sec"] = round(n_prof[0] / timings["q11_lang_profiles_parquet"], 1)
 
     # q12: benchmark decontamination of the FULL 4M-row corpus against a
     # ~2k-doc eval set (13-gram overlap, broadcast prefiltered-hash
@@ -215,16 +223,25 @@ def main():
     ev = web.filter(F.pmod(F.xxhash64("url"), F.lit(2048)) == 0).select("text")
     timed(
         "q12_decontaminate_web",
-        lambda: decontaminate_parquet(spark, web_dir, ev, "url", "text", n=13).count(),
+        lambda: decontaminate_parquet(spark, web_dir, ev, "url", "text", n=13, unit="char").count(),
     )
     extras["decon_docs_per_sec"] = round(WEB_ROWS / timings["q12_decontaminate_web"], 1)
+
+    # q13: same decontamination in the DEFAULT token unit (r4 — the
+    # published 13-token rule; adds a tokenize+prefix-scan pass per doc,
+    # so it's benched separately from the r3-comparable char q12)
+    timed(
+        "q13_decontaminate_web_tokens",
+        lambda: decontaminate_parquet(spark, web_dir, ev, "url", "text", n=13).count(),
+    )
+    extras["decon_token_docs_per_sec"] = round(WEB_ROWS / timings["q13_decontaminate_web_tokens"], 1)
 
     spark.stop()
     total = round(sum(timings.values()), 3)
     # per-query deltas vs the previous round's recorded bench (VERDICT
     # r1 task 10): negative = faster this round
     deltas = {}
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r02.json")
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r03.json")
     try:
         with open(prev_path) as f:
             prev = json.load(f)["parsed"]["queries"]
@@ -238,7 +255,7 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "deltas_vs_r02": deltas,
+                "deltas_vs_r03": deltas,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "web_rows": WEB_ROWS,

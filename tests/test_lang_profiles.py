@@ -62,7 +62,7 @@ def test_profile_table_shape():
     assert hashes.dtype == np.uint64
     assert np.all(np.diff(hashes.astype(np.int64)) != 0)  # unique
     assert np.all(hashes[:-1] < hashes[1:])  # sorted
-    assert weights.shape == (len(hashes), 8)
+    assert weights.shape == (len(hashes), 15)  # r4: 15 word-profile langs
     assert np.all(weights >= 0)
     # every language contributes some positive-weight trigrams
     assert np.all((weights > 0).sum(axis=0) > 50)
@@ -97,3 +97,75 @@ def test_mixed_with_marker_path(spark):
     rows = {r["doc_id"]: r for r in out.orderBy("doc_id").collect()}
     assert rows[0]["marker_lang"] == rows[0]["profile_lang"] == "en"
     assert rows[1]["marker_lang"] == rows[1]["profile_lang"] == "es"
+
+
+def test_round4_new_languages_present():
+    """The r4 widening: 20 languages, each with a 5-sentence held-out
+    gate; the 10 new ones cover 4 Latin profiles, 3 non-Latin profiles,
+    and 3 script-ratio languages."""
+    assert set(EVAL_SENTENCES) == {
+        "en", "es", "de", "fr", "pt", "it", "nl", "ru", "zh", "ja",
+        "tr", "pl", "sv", "cs", "el", "he", "ar", "ko", "hi", "th",
+    }
+    for lang, sents in EVAL_SENTENCES.items():
+        assert len(sents) == 5, lang
+
+
+def test_distinctive_char_votes_rescue_short_sentences():
+    """A short Czech sentence whose only function words (a, se, na) are
+    shared with Romance/Slavic neighbors is decided by its ř/í — the
+    distinctive-character vote path (r4)."""
+    out = _profile_lang_batch(
+        pd.Series(
+            [
+                "Otevřel okno a chvíli se díval na řeku.",
+                "Już późno, ale jeszcze czytał książkę.",
+                "Yağmur yağıyordu ve sokaklar ıslaktı.",
+            ]
+        )
+    )
+    assert list(out) == ["cs", "pl", "tr"]
+
+
+def test_script_ratio_languages():
+    """ko/hi/th have no word profiles — script ratios identify them;
+    el/he/ar profiles engage without script help."""
+    out = _profile_lang_batch(
+        pd.Series(
+            [
+                "서울의 거리는 밤에도 매우 밝습니다",
+                "भारत में बहुत सारी भाषाएँ बोली जाती हैं",
+                "ประเทศไทยมีอาหารอร่อยมากมาย",
+                "Η θάλασσα ήταν ήρεμη και γαλάζια.",
+                "השמש זרחה מעל ההרים הגבוהים.",
+                "كانت الشمس مشرقة فوق الجبال العالية.",
+            ]
+        )
+    )
+    assert list(out) == ["ko", "hi", "th", "el", "he", "ar"]
+
+
+@pytest.mark.spark
+def test_parquet_path_equivalence(spark, tmp_path):
+    """lang_id_profiles_parquet (worker-side scan) labels exactly what
+    the DataFrame path labels on the same table."""
+    from hlld_spark.operators.lang_profiles import lang_id_profiles_parquet
+
+    rows = []
+    i = 0
+    for lang, sents in EVAL_SENTENCES.items():
+        for s in sents:
+            rows.append((i, s))
+            i += 1
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(p)
+    df = spark.read.parquet(p)
+    base = {
+        r["doc_id"]: r["lang_id"]
+        for r in with_lang_id_profiles(df, "text").select("doc_id", "lang_id").collect()
+    }
+    got = {
+        r["doc_id"]: r["lang_id"]
+        for r in lang_id_profiles_parquet(spark, p, "text", carry_cols=["doc_id"]).collect()
+    }
+    assert got == base and len(got) == 100
