@@ -40,13 +40,23 @@ def _lang_id_profiles(texts: pd.Series) -> pd.Series:
     return _profile_lang_batch(texts)
 
 
-@F.pandas_udf(DoubleType())
-def _ngram_jaccard(a: pd.Series, b: pd.Series, n: pd.Series) -> pd.Series:
+def _ngram_jaccard_batch(a: pd.Series, b: pd.Series, n: pd.Series) -> pd.Series:
     from ..operators.dedup import _char_shingle_hashes
 
     if len(a) == 0:
         return pd.Series([], dtype=float)
-    k = int(n.iloc[0])  # n is a literal in practice; per-batch constant
+    ks = n.unique()
+    if len(ks) != 1:
+        # ADVICE r3: silently scoring every row with n.iloc[0] would be
+        # wrong for a COLUMN n — score per distinct n instead (each
+        # group through the same batch kernel; literals still take the
+        # single-pass fast path)
+        out = pd.Series(np.zeros(len(a)), index=a.index)
+        for kv in ks:
+            m = (n == kv).values
+            out[m] = _ngram_jaccard_batch(a[m], b[m], n[m]).values
+        return out
+    k = int(ks[0])
     ha, oa = _char_shingle_hashes(a.fillna(""), k)
     hb, ob = _char_shingle_hashes(b.fillna(""), k)
     out = np.zeros(len(a))
@@ -56,7 +66,10 @@ def _ngram_jaccard(a: pd.Series, b: pd.Series, n: pd.Series) -> pd.Series:
         inter = len(np.intersect1d(sx, sy, assume_unique=True))
         union = len(sx) + len(sy) - inter
         out[i] = inter / union if union else 1.0
-    return pd.Series(out)
+    return pd.Series(out, index=a.index)
+
+
+_ngram_jaccard = F.pandas_udf(_ngram_jaccard_batch, DoubleType())
 
 
 def register_text_functions(spark: SparkSession) -> None:

@@ -124,12 +124,27 @@ class SketchRegistry:
         ini = self._config_path(name)
         if os.path.exists(ini):
             cp = configparser.ConfigParser(strict=False)
-            cp.read(ini)
+            try:
+                cp.read(ini)
+            except configparser.Error:  # unparseable: skip, don't wedge boot
+                return None
+            if "hlld" not in cp:  # malformed: skip, don't wedge _discover
+                return None
             sec = cp["hlld"]
-            p = sec.getint("default_precision")
+            try:
+                p = sec.getint("default_precision", fallback=None)
+            except ValueError:  # non-integer garbage
+                return None
+            if p is None:
+                # ADVICE r3: a corrupt/partial config.ini must not
+                # prevent the whole registry from constructing (the
+                # reference tolerates missing keys at boot) — and the
+                # eps fallback must only be computed AFTER validating p
+                return None
+            eps = sec.getfloat("default_eps", fallback=None)
             return {
                 "precision": p,
-                "eps": sec.getfloat("default_eps", fallback=hll.error_for_precision(p)),
+                "eps": eps if eps is not None else hll.error_for_precision(p),
                 "in_memory": bool(sec.getint("in_memory", fallback=0)),
                 "size": sec.getfloat("size", fallback=0.0),
             }

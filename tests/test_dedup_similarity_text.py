@@ -673,3 +673,71 @@ def test_repetition_signals(spark):
     assert rows[4]["dup_line_ratio"] == pytest.approx(1 - 2 / 3, abs=1e-6)
     plan = with_repetition_signals(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_capped_cluster_pairs_worst_case_guarantee():
+    """VERDICT r3 #8 — the PRECISE guarantee of the chunked hot-bucket
+    verify, encoded adversarially: with ids sorted and chunked by cap, a
+    matching pair (i, j) is emitted iff
+        (a) i and j fall in the same cap-chunk, OR
+        (b) at least one of them lies in the HEAD chunk (the cap
+            smallest ids).
+    A pair spanning two non-head chunks is MISSED by this path — that is
+    the documented bound (DEVNOTES), not a bug: within one band-bucket
+    the cost stays <= 2*n*cap, and a true near-dup pair gets an
+    independent co-chunk/head chance in every OTHER band whose bucket it
+    shares, which is what restores recall at the operator level."""
+    import numpy as np
+
+    from hlld_spark.operators.dedup import _capped_cluster_pairs
+
+    cap = 4
+    n = 16
+    ids = np.arange(n)
+    # clusters: {2, 9} head-anchored; {6, 7} co-chunk (chunk 1);
+    # {5, 10} adversarial (chunks 1 and 2, neither in head);
+    # {4, 11, 13} adversarial 3-cluster spread over chunks 1, 2, 3
+    cluster = {2: 1, 9: 1, 6: 2, 7: 2, 5: 3, 10: 3, 4: 4, 11: 4, 13: 4}
+
+    def score(ia, ib):
+        ca = np.array([cluster.get(int(ids[x]), -1000 - int(ids[x])) for x in ia])
+        cb = np.array([cluster.get(int(ids[x]), -2000 - int(ids[x])) for x in ib])
+        return (ca[:, None] == cb[None, :]).astype(float)
+
+    got_i, got_k, _ = _capped_cluster_pairs(ids, score, lambda S: S >= 0.5, cap)
+    found = dict(zip(got_i.tolist(), got_k.tolist()))
+    # (b) head-anchored pair: found, keeper = head id
+    assert found.get(9) == 2
+    # (a) co-chunk pair: found
+    assert found.get(7) == 6
+    # worst case: pair spans chunks 1 and 2, neither in head -> missed
+    assert 5 not in found and 10 not in found
+    # 3-cluster spread over three non-head chunks: also missed entirely
+    assert 4 not in found and 11 not in found and 13 not in found
+    # and nothing spurious
+    assert set(found) == {9, 7}
+
+
+def test_minhash_operator_recall_despite_adversarial_bucket(spark):
+    """Operator-level counterpart: pairs that a SINGLE band's chunked
+    verify would miss are still caught end-to-end, because identical
+    texts collide in EVERY band — each band re-chunks an (id-sorted)
+    bucket, and the keeper-label union over bands anchors the cluster.
+    Construct a bucket hotter than 3x cap from identical docs: whatever
+    the chunking, all-pairs-within-chunk + head anchoring must label
+    every member with the global min id."""
+    import pyspark.sql.functions as F
+
+    from hlld_spark.operators.dedup import minhash_lsh_dedup
+
+    n = 40  # > 3 * cap below
+    rows = [(i, "the very same duplicated boilerplate sentence repeated verbatim") for i in range(n)]
+    rows += [(1000 + i, " ".join(f"tok{i}q{j}" for j in range(10))) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(7)
+    out = minhash_lsh_dedup(df, "doc_id", "text", max_bucket_pairwise=12)
+    lab = {r["id"]: r["keeper_id"] for r in out.collect()}
+    # every clone labeled with the global min id 0 (head-chunk anchoring:
+    # the head of every band's bucket contains id 0)
+    assert all(lab[i] == 0 for i in range(n)), {i: lab[i] for i in range(n) if lab[i] != 0}
+    # uniques keep themselves
+    assert all(lab[1000 + i] == 1000 + i for i in range(20))

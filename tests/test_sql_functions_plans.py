@@ -135,3 +135,48 @@ def test_text_sql_functions(spark):
     assert rows[0]["m"] == "en" and rows[0]["p"] == "es"
     # 'abcde' vs 'abcdx': 3-grams {abc,bcd,cde} vs {abc,bcd,cdx} -> 2/4
     assert rows[1]["j"] == 0.5
+
+
+def test_ngram_jaccard_column_n(spark):
+    """ADVICE r3: a per-row COLUMN n must score each row with ITS n,
+    not the batch's first value."""
+    from pyspark.sql import functions as F
+
+    from hlld_spark.functions.text_sql import register_text_functions
+
+    register_text_functions(spark)
+    df = spark.createDataFrame(
+        [("abcdef", "abcdef", 3), ("abcdef", "abcdef", 5), ("abcdXf", "abcdef", 2)],
+        "a string, b string, n int",
+    ).coalesce(1)
+    rows = df.selectExpr("ngram_jaccard(a, b, n) AS j").collect()
+    assert rows[0]["j"] == 1.0 and rows[1]["j"] == 1.0
+    # row 3: 2-grams of abcdXf vs abcdef -> {ab,bc,cd,dX,Xf} vs
+    # {ab,bc,cd,de,ef}: 3 shared of 7 distinct
+    assert abs(rows[2]["j"] - 3 / 7) < 1e-12
+
+
+def test_registry_tolerates_corrupt_config_dir(tmp_path):
+    """ADVICE r3: one malformed hlld.<name>/config.ini must not prevent
+    the whole registry from constructing — the bad dir is skipped, the
+    good ones are discovered."""
+    import os
+
+    from hlld_spark.registry import SketchRegistry
+
+    root = str(tmp_path / "data")
+    reg = SketchRegistry(root)
+    reg.create("good", precision=12)
+    reg.flush("good")
+    # corrupt dir: section present but no default_precision key
+    bad = os.path.join(root, "hlld.bad")
+    os.makedirs(bad)
+    with open(os.path.join(bad, "config.ini"), "w") as f:
+        f.write("[hlld]\ndefault_eps = 0.02\n")
+    # and one with no section at all
+    bad2 = os.path.join(root, "hlld.bad2")
+    os.makedirs(bad2)
+    with open(os.path.join(bad2, "config.ini"), "w") as f:
+        f.write("default_precision = 12\n")
+    reg2 = SketchRegistry(root)
+    assert "good" in reg2._sets and "bad" not in reg2._sets and "bad2" not in reg2._sets
