@@ -381,10 +381,20 @@ def _token_shingle_hashes(
     return h, out_off, ntoks
 
 
-def _minhash_signatures(texts: pd.Series, num_perm: int, k: int, seed: int = 1) -> np.ndarray:
+def _minhash_signatures(
+    texts: pd.Series, num_perm: int, k: int, seed: int = 1, unit: str = "char"
+) -> np.ndarray:
     """(n_docs, num_perm) uint64 minhash signatures, vectorized: one
-    shingle-hash pass + num_perm affine mixes with minimum.reduceat."""
-    h, offsets = _char_shingle_hashes(texts, k)
+    shingle-hash pass + num_perm affine mixes with minimum.reduceat.
+    ``unit="token"`` (r4) shingles k whitespace tokens instead of k
+    characters — the production web-dedup convention (SlimPajama /
+    RefinedWeb style token n-grams); same downstream banding."""
+    if unit == "token":
+        h, offsets, _ = _token_shingle_hashes(texts, k)
+    elif unit == "char":
+        h, offsets = _char_shingle_hashes(texts, k)
+    else:
+        raise ValueError(f"unknown unit {unit!r} (expected 'token' or 'char')")
     n_docs = len(offsets) - 1
     starts = offsets[:-1]
     rng = np.random.RandomState(seed)
@@ -400,16 +410,25 @@ def _minhash_signatures(texts: pd.Series, num_perm: int, k: int, seed: int = 1) 
 
 
 def minhash_signature_df(
-    df: DataFrame, id_col: str, text_col: str, num_perm: int = 128, shingle_k: int = 5
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    shingle_k: int = 5,
+    shingle_unit: str = "char",
 ) -> DataFrame:
-    """(id, signature binary) per doc."""
+    """(id, signature binary) per doc. ``shingle_unit="token"`` shingles
+    whitespace tokens (use shingle_k≈5..13 tokens); signatures from
+    different units are NOT comparable — persisted corpus signature
+    tables must be built and probed with the same (num_perm, shingle_k,
+    shingle_unit)."""
     out_schema = StructType(
         [df.schema[id_col], StructField("signature", BinaryType(), False)]
     )
 
     def compute(batches):
         for pdf in batches:
-            sig = _minhash_signatures(pdf[text_col], num_perm, shingle_k)
+            sig = _minhash_signatures(pdf[text_col], num_perm, shingle_k, unit=shingle_unit)
             yield pd.DataFrame(
                 {id_col: pdf[id_col].values, "signature": [s.tobytes() for s in sig]}
             )
@@ -467,6 +486,7 @@ def minhash_dedup_against(
     bands: int = 16,
     shingle_k: int = 5,
     threshold: float = 0.8,
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """Incremental crawl dedup: match NEW documents against an EXISTING
     corpus's persisted signature table (the output of
@@ -483,7 +503,7 @@ def minhash_dedup_against(
     """
     if corpus_id_col == id_col:
         raise ValueError("corpus_id_col must differ from id_col (join disambiguation)")
-    new_sigs = minhash_signature_df(new_df, id_col, text_col, num_perm, shingle_k)
+    new_sigs = minhash_signature_df(new_df, id_col, text_col, num_perm, shingle_k, shingle_unit)
     nb = minhash_bands(new_sigs, id_col, num_perm, bands).withColumnRenamed("signature", "__sig_n")
     cb = minhash_bands(
         corpus_sig_df.select(F.col(corpus_id_col), F.col("signature")), corpus_id_col, num_perm, bands
@@ -571,6 +591,7 @@ def minhash_lsh_dedup(
     threshold: float = 0.8,
     closure_rounds: int = 2,
     max_bucket_pairwise: int = 256,
+    shingle_unit: str = "char",
 ) -> DataFrame:
     """Near-dup clusters via banded MinHash LSH.
 
@@ -595,7 +616,7 @@ def minhash_lsh_dedup(
     band keys are 8-byte hashes, signatures num_perm*8 bytes; no text
     moves after signature computation.
     """
-    sig_df = minhash_signature_df(df, id_col, text_col, num_perm, shingle_k).cache()
+    sig_df = minhash_signature_df(df, id_col, text_col, num_perm, shingle_k, shingle_unit).cache()
     banded = minhash_bands(sig_df, id_col, num_perm, bands)
 
     id_type = sig_df.schema[id_col].dataType

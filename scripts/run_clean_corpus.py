@@ -44,6 +44,14 @@ def main() -> None:
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", default=None, help="metrics JSON path (default: <output>_metrics.json)")
     ap.add_argument("--near-dup", action="store_true", help="also MinHash-LSH near-dup dedup")
+    ap.add_argument(
+        "--near-dup-unit",
+        default="char",
+        choices=["char", "token"],
+        help="minhash shingle unit (token = SlimPajama/RefinedWeb-style token n-grams)",
+    )
+    ap.add_argument("--near-dup-k", type=int, default=None,
+                    help="shingle size (default: 5 chars / 5 tokens)")
     ap.add_argument("--eval-table", default=None, help="benchmark table to decontaminate against")
     ap.add_argument("--eval-text-col", default=None)
     ap.add_argument("--decontaminate-n", type=int, default=13)
@@ -99,7 +107,13 @@ def main() -> None:
 
     # 2. near-dup dedup (optional)
     if args.near_dup:
-        labels = minhash_lsh_dedup(docs, args.id_col, args.text_col)
+        labels = minhash_lsh_dedup(
+            docs,
+            args.id_col,
+            args.text_col,
+            shingle_k=args.near_dup_k or 5,
+            shingle_unit=args.near_dup_unit,
+        )
         keepers = labels.filter(F.col("id") == F.col("keeper_id")).select(
             F.col("id").alias(args.id_col)
         )

@@ -741,3 +741,39 @@ def test_minhash_operator_recall_despite_adversarial_bucket(spark):
     assert all(lab[i] == 0 for i in range(n)), {i: lab[i] for i in range(n) if lab[i] != 0}
     # uniques keep themselves
     assert all(lab[1000 + i] == 1000 + i for i in range(20))
+
+
+def test_minhash_token_shingles(spark):
+    """r4: shingle_unit='token' — minhash over whitespace-token n-grams
+    (the production web-dedup convention). Word-reordered docs that
+    share most token 3-grams cluster; docs sharing characters but not
+    token sequences don't."""
+    from hlld_spark.operators.dedup import minhash_lsh_dedup
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 4
+    near = base + "kilo lima"                      # high token-gram overlap
+    far = " ".join(w[::-1] for w in base.split())  # same chars, reversed tokens
+    rows = [(0, base), (1, near), (2, far)]
+    rows += [(10 + i, " ".join(f"w{i}t{j}" for j in range(30))) for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_lsh_dedup(
+        df, "doc_id", "text", shingle_k=3, shingle_unit="token", threshold=0.7
+    )
+    lab = {r["id"]: r["keeper_id"] for r in out.collect()}
+    assert lab[1] == 0      # near-dup by token grams
+    assert lab[2] == 2      # reversed tokens: not a dup despite char overlap
+    assert all(lab[10 + i] == 10 + i for i in range(5))
+
+
+def test_minhash_token_signature_determinism(spark):
+    """Token-unit signatures are deterministic across jobs (the
+    incremental-dedup contract holds for the new unit)."""
+    from hlld_spark.operators.dedup import minhash_signature_df
+
+    rows = [(i, f"some shared words plus unique token u{i} at the end here") for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r["doc_id"]: bytes(r["signature"]) for r in minhash_signature_df(df, "doc_id", "text", 64, 3, "token").collect()}
+    b = {r["doc_id"]: bytes(r["signature"]) for r in minhash_signature_df(df.repartition(5), "doc_id", "text", 64, 3, "token").collect()}
+    assert a == b
+    c = {r["doc_id"]: bytes(r["signature"]) for r in minhash_signature_df(df, "doc_id", "text", 64, 3, "char").collect()}
+    assert a != c  # different unit -> different signature space
