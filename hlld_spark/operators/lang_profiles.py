@@ -14,13 +14,15 @@ one code-point poly-hash pass (the SAME kernel minhash shingling uses —
 compiled profile table, one ``np.add.at`` scatter into a (docs × langs)
 score matrix. No per-document Python in the scoring path.
 
-Coverage (round 4, VERDICT r3 #3): 15 word-trigram profiles (en es de fr
-pt it nl ru + tr pl sv cs el he ar), script-ratio identification for
-zh/ja/ko/hi/th (no whitespace word segmentation), and per-language
-DISTINCTIVE-CHARACTER votes (ř→cs, ł→pl, ğ→tr, å→sv, ß→de, …) that
-rescue short sentences whose few function words are shared across
-neighboring languages. 20 languages total, each gated by 5 held-out
-natural sentences (``EVAL_SENTENCES``).
+Coverage (round 4, VERDICT r3 #3): 16 word-trigram profiles (en es de
+fr pt it nl ru + tr pl sv cs el he ar vi), script-ratio identification
+for 14 script-unshared languages (zh ja ko hi th bn ta te ka hy am km
+my lo — one searchsorted over disjoint unicode ranges classifies every
+character), and per-language DISTINCTIVE-CHARACTER votes (ř→cs, ł→pl,
+ğ→tr, å→sv, ß→de, đ/ơ/ư→vi, …) that rescue short sentences whose few
+function words are shared across neighboring languages. 30 languages
+total, each gated by 5 held-out natural sentences
+(``EVAL_SENTENCES``).
 
 Reference parity note: the reference (hlld) has no language ID — this is
 a brief-mandated training-data-pipeline companion operator.
@@ -106,6 +108,12 @@ _WORDS: dict[str, list[str]] = {
     "ar": """في من على أن إلى عن هذا التي الذي كان مع هو هي لا ما أو ثم
         قد كل بعد قبل بين عند حتى لكن منذ حيث كما لم لن هناك ذلك هذه غير
         وقد وهو وهي كانت يكون إن أي بعض نحو لدى خلال ضد فوق تحت""".split(),
+    # Vietnamese (r4 widening part 2): Latin script but saturated with
+    # language-unique diacritics — profile + distinctive chars together
+    "vi": """của và các là trong được có cho không một những người này
+        với đã khi đến về như cũng từ ra nếu vì sau trên nhưng rất nhiều
+        hơn rồi đang sẽ thì mà gì nào tại theo bị làm lại nói năm hai
+        ngày ông bà anh chị em tôi chúng họ ấy đó đây""".split(),
 }
 
 _PROFILE_LANGS = list(_WORDS)
@@ -182,6 +190,7 @@ _DISTINCTIVE_CHARS: dict[str, str] = {
     "pt": "ãõ",
     "fr": "êîôûœ",
     "it": "ìò",
+    "vi": "đơưạảấầẩậắằặẹẻẽếềểễệịọỏốồổỗộớờởỡợụủứừửữựỳỵỷỹ",
 }
 _CHAR_VOTE_W = 8.0
 
@@ -202,6 +211,69 @@ def _build_char_votes() -> tuple[np.ndarray, np.ndarray]:
 
 
 _CHAR_VOTE_CPS, _CHAR_VOTE_LANG = _build_char_votes()
+
+
+# ---------------------------------------------------------------------------
+# script-ratio identification (r4: widened to 14 unconditional scripts)
+# ---------------------------------------------------------------------------
+# Disjoint unicode ranges, sorted by code point, so ONE searchsorted
+# classifies every character. Languages whose script is unshared within
+# this set need no word profile — the ratio IS the identifier; languages
+# WITH a trigram profile (ru el he ar) use the ratio only as a backstop
+# for profile misses on very short text.
+
+_SCRIPT_RANGES: list[tuple[str, int, int]] = [
+    ("el", 0x0370, 0x03FF),  # Greek
+    ("ru", 0x0400, 0x04FF),  # Cyrillic
+    ("hy", 0x0530, 0x058F),  # Armenian
+    ("he", 0x0590, 0x05FF),  # Hebrew
+    ("ar", 0x0600, 0x06FF),  # Arabic
+    ("hi", 0x0900, 0x097F),  # Devanagari
+    ("bn", 0x0980, 0x09FF),  # Bengali
+    ("ta", 0x0B80, 0x0BFF),  # Tamil
+    ("te", 0x0C00, 0x0C7F),  # Telugu
+    ("th", 0x0E00, 0x0E7F),  # Thai
+    ("lo", 0x0E80, 0x0EFF),  # Lao
+    ("my", 0x1000, 0x109F),  # Myanmar
+    ("ka", 0x10A0, 0x10FF),  # Georgian
+    ("ko", 0x1100, 0x11FF),  # Hangul jamo
+    ("am", 0x1200, 0x137F),  # Ethiopic
+    ("km", 0x1780, 0x17FF),  # Khmer
+    ("ka", 0x1C90, 0x1CBF),  # Georgian Mtavruli (uppercase of Mkhedruli)
+    ("ja", 0x3040, 0x30FF),  # Hiragana + Katakana
+    ("zh", 0x4E00, 0x9FFF),  # CJK unified
+    ("ko", 0xAC00, 0xD7A3),  # Hangul syllables
+]
+
+# (lang, ratio threshold, backstop_only) — applied in order; ja AFTER zh
+# because Japanese text contains han and kana decides
+_SCRIPT_RULES: list[tuple[str, float, bool]] = [
+    ("zh", 0.3, False),
+    ("ja", 0.05, False),
+    ("ko", 0.3, False),
+    ("hi", 0.3, False),
+    ("th", 0.3, False),
+    ("bn", 0.3, False),
+    ("ta", 0.3, False),
+    ("te", 0.3, False),
+    ("ka", 0.3, False),
+    ("hy", 0.3, False),
+    ("am", 0.3, False),
+    ("km", 0.3, False),
+    ("my", 0.3, False),
+    ("lo", 0.3, False),
+    ("ru", 0.3, True),
+    ("el", 0.3, True),
+    ("he", 0.3, True),
+    ("ar", 0.3, True),
+]
+
+_SCRIPT_LANGS: dict[str, int] = {
+    lang: j for j, lang in enumerate(dict.fromkeys(l for l, _, _ in _SCRIPT_RANGES))
+}
+_SCRIPT_LO = np.array([lo for _, lo, _ in _SCRIPT_RANGES], dtype=np.uint32)
+_SCRIPT_HI = np.array([hi for _, _, hi in _SCRIPT_RANGES], dtype=np.uint32)
+_SCRIPT_LANG_J = np.array([_SCRIPT_LANGS[l] for l, _, _ in _SCRIPT_RANGES], dtype=np.int64)
 
 
 # ---------------------------------------------------------------------------
@@ -253,38 +325,23 @@ def _profile_lang_batch(texts: pd.Series, min_score: float = 1e-4) -> pd.Series:
     # --- one utf-32 pass over non-ascii docs: distinctive-character
     # votes (added to scores BEFORE the argmax) + script ratios ---------
     lens = np.fromiter((len(t) for t in tl), dtype=np.int64, count=n_docs)
-    han = np.zeros(n_docs)
-    kana = np.zeros(n_docs)
-    cyr = np.zeros(n_docs)
-    hangul = np.zeros(n_docs)
-    deva = np.zeros(n_docs)
-    thai = np.zeros(n_docs)
-    greek = np.zeros(n_docs)
-    hebrew = np.zeros(n_docs)
-    arabic = np.zeros(n_docs)
+    ratio_mat = np.zeros((n_docs, len(_SCRIPT_LANGS)))
     has_char_vote = np.zeros(n_docs, dtype=bool)
     na_idx = np.fromiter((i for i, s in enumerate(tl) if not s.isascii()), dtype=np.int64)
     if len(na_idx):
         sub = [tl[i] for i in na_idx]
         sub_lens = lens[na_idx]
         arr = np.frombuffer("".join(sub).encode("utf-32-le"), dtype=np.uint32)
-        bounds = np.concatenate(([0], np.cumsum(sub_lens)))
-
-        def ratio(mask: np.ndarray) -> np.ndarray:
-            c = np.concatenate(([0], np.cumsum(mask, dtype=np.int64)))
-            return (c[bounds[1:]] - c[bounds[:-1]]) / np.maximum(sub_lens, 1)
-
-        han[na_idx] = ratio((arr >= 0x4E00) & (arr <= 0x9FFF))
-        kana[na_idx] = ratio((arr >= 0x3040) & (arr <= 0x30FF))
-        cyr[na_idx] = ratio((arr >= 0x0400) & (arr <= 0x04FF))
-        hangul[na_idx] = ratio(
-            ((arr >= 0xAC00) & (arr <= 0xD7A3)) | ((arr >= 0x1100) & (arr <= 0x11FF))
-        )
-        deva[na_idx] = ratio((arr >= 0x0900) & (arr <= 0x097F))
-        thai[na_idx] = ratio((arr >= 0x0E00) & (arr <= 0x0E7F))
-        greek[na_idx] = ratio((arr >= 0x0370) & (arr <= 0x03FF))
-        hebrew[na_idx] = ratio((arr >= 0x0590) & (arr <= 0x05FF))
-        arabic[na_idx] = ratio((arr >= 0x0600) & (arr <= 0x06FF))
+        # ONE searchsorted assigns each char its script range (ranges are
+        # disjoint and sorted); per-(doc, script) counts via bincount
+        rpos = np.searchsorted(_SCRIPT_LO, arr, side="right").astype(np.int64) - 1
+        rpos = np.maximum(rpos, 0)
+        in_range = (arr >= _SCRIPT_LO[rpos]) & (arr <= _SCRIPT_HI[rpos])
+        doc_of_char = np.repeat(np.arange(len(sub), dtype=np.int64), sub_lens)
+        nsl = len(_SCRIPT_LANGS)
+        key = doc_of_char[in_range] * nsl + _SCRIPT_LANG_J[rpos[in_range]]
+        cnt = np.bincount(key, minlength=len(sub) * nsl).reshape(len(sub), nsl)
+        ratio_mat[na_idx] = cnt / np.maximum(sub_lens, 1)[:, None]
         # distinctive-character votes: lowercase the sub-buffer's case
         # range cheaply (profiles/chars are lowercase; Č → č etc. differ
         # by +0x20 only for Latin-1/Extended-A rows we care about — use
@@ -308,18 +365,15 @@ def _profile_lang_batch(texts: pd.Series, min_score: float = 1e-4) -> pd.Series:
     # voted (they count as matches for the confidence gate)
     confident = (best > min_score) & ((n_matched >= 2) | has_char_vote)
     out = np.where(confident, np.array(_PROFILE_LANGS, dtype=object)[best_j], "und")
-    out = np.where(han > 0.3, "zh", out)
-    out = np.where(kana > 0.05, "ja", out)
-    # profile-less scripts: the ratio IS the identifier
-    out = np.where(hangul > 0.3, "ko", out)
-    out = np.where(deva > 0.3, "hi", out)
-    out = np.where(thai > 0.3, "th", out)
-    # profile-backed scripts: ratio only backstops a profile miss (short
-    # texts with <2 matched function-word trigrams)
-    out = np.where((cyr > 0.3) & (out == "und"), "ru", out)
-    out = np.where((greek > 0.3) & (out == "und"), "el", out)
-    out = np.where((hebrew > 0.3) & (out == "und"), "he", out)
-    out = np.where((arabic > 0.3) & (out == "und"), "ar", out)
+    # script-ratio identification, applied in _SCRIPT_RULES order (ja
+    # after zh: Japanese text contains han, kana decides). For languages
+    # WITH a word profile the ratio only backstops a profile miss.
+    for lang, thr, backstop in _SCRIPT_RULES:
+        r = ratio_mat[:, _SCRIPT_LANGS[lang]]
+        if backstop:
+            out = np.where((r > thr) & (out == "und"), lang, out)
+        else:
+            out = np.where(r > thr, lang, out)
     out = np.where(lens == 0, "und", out)
     return pd.Series(out, dtype=object)
 
@@ -474,6 +528,77 @@ EVAL_SENTENCES: dict[str, list[str]] = {
         "หลังบ้านมีสวนเล็ก ๆ ที่มีต้นไม้เก่าแก่มากมาย",
         "เขาเปิดหน้าต่างและมองแม่น้ำอยู่ครู่หนึ่ง",
         "เรารอคำตอบตั้งแต่ต้นสัปดาห์",
+    ],
+    # --- r4 widening part 2: vi profile + 9 script-ratio languages ---
+    "vi": [
+        "Sáng nay trời lạnh và đường phố rất yên tĩnh.",
+        "Cô ấy nói rằng họ sẽ đến nhà ga trước buổi trưa.",
+        "Phía sau ngôi nhà có một khu vườn nhỏ với nhiều cây cổ thụ.",
+        "Anh ấy mở cửa sổ và nhìn dòng sông một lúc lâu.",
+        "Chúng tôi đã chờ câu trả lời từ đầu tuần.",
+    ],
+    "bn": [
+        "আজ সকালে আবহাওয়া ঠান্ডা ছিল এবং রাস্তাগুলো শান্ত ছিল।",
+        "সে বলল তারা দুপুরের আগে স্টেশনে পৌঁছাবে।",
+        "বাড়ির পেছনে অনেক পুরনো গাছসহ একটি ছোট বাগান আছে।",
+        "সে জানালা খুলে কিছুক্ষণ নদীর দিকে তাকিয়ে ছিল।",
+        "আমরা সপ্তাহের শুরু থেকে উত্তরের অপেক্ষায় আছি।",
+    ],
+    "ta": [
+        "இன்று காலை வானிலை குளிராக இருந்தது, தெருக்கள் அமைதியாக இருந்தன.",
+        "அவர்கள் மதியத்திற்கு முன் நிலையத்தை அடைவார்கள் என்று அவள் சொன்னாள்.",
+        "வீட்டின் பின்னால் பல பழைய மரங்களுடன் ஒரு சிறிய தோட்டம் உள்ளது.",
+        "அவன் ஜன்னலைத் திறந்து சிறிது நேரம் ஆற்றைப் பார்த்தான்.",
+        "வாரத்தின் தொடக்கத்திலிருந்து நாங்கள் பதிலுக்காக காத்திருக்கிறோம்.",
+    ],
+    "te": [
+        "ఈ ఉదయం వాతావరణం చల్లగా ఉంది, వీధులు నిశ్శబ్దంగా ఉన్నాయి.",
+        "వారు మధ్యాహ్నానికి ముందే స్టేషనుకు చేరుకుంటారని ఆమె చెప్పింది.",
+        "ఇంటి వెనుక చాలా పాత చెట్లతో ఒక చిన్న తోట ఉంది.",
+        "అతను కిటికీ తెరిచి కాసేపు నదిని చూశాడు.",
+        "వారం మొదటి నుండి మేము సమాధానం కోసం ఎదురు చూస్తున్నాము.",
+    ],
+    "ka": [
+        "დღეს დილით ამინდი ცივი იყო და ქუჩები მშვიდი იყო.",
+        "მან თქვა, რომ ისინი შუადღემდე სადგურში ჩავლენ.",
+        "სახლის უკან არის პატარა ბაღი მრავალი ძველი ხით.",
+        "მან გააღო ფანჯარა და ცოტა ხანს მდინარეს უყურებდა.",
+        "კვირის დასაწყისიდან პასუხს ველოდებით.",
+    ],
+    "hy": [
+        "Այսօր առավոտյան եղանակը ցուրտ էր, և փողոցները հանգիստ էին։",
+        "Նա ասաց, որ նրանք կհասնեն կայարան կեսօրից առաջ։",
+        "Տան հետևում կա փոքրիկ այգի՝ շատ հին ծառերով։",
+        "Նա բացեց պատուհանը և մի պահ նայեց գետին։",
+        "Մենք պատասխանին սպասում ենք շաբաթվա սկզբից։",
+    ],
+    "am": [
+        "ዛሬ ጠዋት አየሩ ቀዝቃዛ ነበር፣ መንገዶቹም ጸጥ ያሉ ነበሩ።",
+        "ከቀትር በፊት ጣቢያው እንደሚደርሱ ተናገረች።",
+        "ከቤቱ በስተጀርባ ብዙ አሮጌ ዛፎች ያሉት ትንሽ የአትክልት ስፍራ አለ።",
+        "መስኮቱን ከፍቶ ለጥቂት ጊዜ ወንዙን ተመለከተ።",
+        "ከሳምንቱ መጀመሪያ ጀምሮ መልሱን እየጠበቅን ነው።",
+    ],
+    "km": [
+        "ព្រឹកនេះអាកាសធាតុត្រជាក់ ហើយផ្លូវស្ងប់ស្ងាត់។",
+        "នាងបាននិយាយថាពួកគេនឹងមកដល់ស្ថានីយមុនថ្ងៃត្រង់។",
+        "នៅខាងក្រោយផ្ទះមានសួនច្បារតូចមួយដែលមានដើមឈើចាស់ជាច្រើន។",
+        "គាត់បានបើកបង្អួចហើយមើលទន្លេមួយសន្ទុះ។",
+        "យើងរង់ចាំចម្លើយតាំងពីដើមសប្តាហ៍។",
+    ],
+    "my": [
+        "ဒီမနက် ရာသီဥတု အေးပြီး လမ်းတွေ တိတ်ဆိတ်နေသည်။",
+        "နေ့လယ်မတိုင်မီ ဘူတာရုံသို့ ရောက်မည်ဟု သူမပြောသည်။",
+        "အိမ်နောက်ဘက်တွင် သစ်ပင်အိုများစွာရှိသော ဥယျာဉ်လေးတစ်ခုရှိသည်။",
+        "သူသည် ပြတင်းပေါက်ကိုဖွင့်ပြီး မြစ်ကို ခဏကြည့်နေသည်။",
+        "အပတ်အစကတည်းက အဖြေကို စောင့်နေကြသည်။",
+    ],
+    "lo": [
+        "ເຊົ້ານີ້ອາກາດໜາວ ແລະ ຖະໜົນງຽບສະຫງົບ.",
+        "ລາວເວົ້າວ່າພວກເຂົາຈະມາຮອດສະຖານີກ່ອນຕອນທ່ຽງ.",
+        "ທາງຫຼັງເຮືອນມີສວນນ້ອຍທີ່ມີຕົ້ນໄມ້ເກົ່າຫຼາຍຕົ້ນ.",
+        "ລາວເປີດປ່ອງຢ້ຽມ ແລະ ເບິ່ງແມ່ນ້ຳຊົ່ວຄາວ.",
+        "ພວກເຮົາລໍຖ້າຄຳຕອບຕັ້ງແຕ່ຕົ້ນອາທິດ.",
     ],
 }
 

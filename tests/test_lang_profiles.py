@@ -62,7 +62,7 @@ def test_profile_table_shape():
     assert hashes.dtype == np.uint64
     assert np.all(np.diff(hashes.astype(np.int64)) != 0)  # unique
     assert np.all(hashes[:-1] < hashes[1:])  # sorted
-    assert weights.shape == (len(hashes), 15)  # r4: 15 word-profile langs
+    assert weights.shape == (len(hashes), 16)  # r4: 16 word-profile langs (incl vi)
     assert np.all(weights >= 0)
     # every language contributes some positive-weight trigrams
     assert np.all((weights > 0).sum(axis=0) > 50)
@@ -100,12 +100,13 @@ def test_mixed_with_marker_path(spark):
 
 
 def test_round4_new_languages_present():
-    """The r4 widening: 20 languages, each with a 5-sentence held-out
-    gate; the 10 new ones cover 4 Latin profiles, 3 non-Latin profiles,
-    and 3 script-ratio languages."""
+    """The r4 widening: 30 languages, each with a 5-sentence held-out
+    gate — 16 word-trigram profiles (incl. diacritic-saturated vi) and
+    14 script-ratio languages (4 of which backstop a profile)."""
     assert set(EVAL_SENTENCES) == {
         "en", "es", "de", "fr", "pt", "it", "nl", "ru", "zh", "ja",
         "tr", "pl", "sv", "cs", "el", "he", "ar", "ko", "hi", "th",
+        "vi", "bn", "ta", "te", "ka", "hy", "am", "km", "my", "lo",
     }
     for lang, sents in EVAL_SENTENCES.items():
         assert len(sents) == 5, lang
@@ -168,4 +169,36 @@ def test_parquet_path_equivalence(spark, tmp_path):
         r["doc_id"]: r["lang_id"]
         for r in lang_id_profiles_parquet(spark, p, "text", carry_cols=["doc_id"]).collect()
     }
-    assert got == base and len(got) == 100
+    assert got == base and len(got) == 150
+
+
+def test_script_table_ranges_disjoint_sorted():
+    """The one-searchsorted classifier requires the script ranges to be
+    sorted and pairwise disjoint."""
+    from hlld_spark.operators.lang_profiles import _SCRIPT_RANGES
+
+    prev_hi = -1
+    for lang, lo, hi in _SCRIPT_RANGES:
+        assert lo > prev_hi, (lang, hex(lo), hex(prev_hi))
+        assert hi >= lo
+        prev_hi = hi
+
+
+def test_round4b_script_languages():
+    out = _profile_lang_batch(
+        pd.Series(
+            [
+                "নদীর ধারে একটি পুরনো মন্দির আছে",
+                "கடற்கரையில் நிறைய மக்கள் இருந்தனர்",
+                "పుస్తకాలు చదవడం నాకు చాలా ఇష్టం",
+                "თბილისი საქართველოს დედაქალაქია",
+                "Երևանը Հայաստանի մայրաքաղաքն է",
+                "አዲስ አበባ የኢትዮጵያ ዋና ከተማ ናት",
+                "ភ្នំពេញជារាជធានីនៃកម្ពុជា",
+                "ရန်ကုန်သည် မြန်မာနိုင်ငံ၏ အကြီးဆုံးမြို့ဖြစ်သည်",
+                "ວຽງຈັນເປັນນະຄອນຫຼວງຂອງລາວ",
+                "Hà Nội là thủ đô của Việt Nam.",
+            ]
+        )
+    )
+    assert list(out) == ["bn", "ta", "te", "ka", "hy", "am", "km", "my", "lo", "vi"]
