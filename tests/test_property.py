@@ -237,3 +237,33 @@ def test_decontaminate_token_kernel_matches_bruteforce(corpus, evals, n):
             1 for i in range(max(len(toks) - n + 1, 0)) if tuple(toks[i : i + n]) in ev_grams
         )
         assert c == expect, (doc, n, c, expect)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=20, max_value=60),
+    st.integers(min_value=0, max_value=40),
+    st.integers(min_value=2, max_value=4),
+)
+def test_token_minhash_estimates_token_jaccard(n_shared, n_extra, k):
+    """Token-unit minhash signatures estimate the TRUE token-k-shingle
+    Jaccard within binomial tolerance (num_perm=256 -> sigma <= 0.032;
+    assert 5 sigma). Pins that the token kernel + affine mixes form a
+    correct minhash family over token shingles, not just a determinism
+    check."""
+    import numpy as np
+    import pandas as pd
+
+    from hlld_spark.operators.dedup import _minhash_signatures, _token_shingle_hashes
+
+    a_toks = [f"s{i}" for i in range(n_shared)]
+    b_toks = a_toks[: max(n_shared - n_extra, k)] + [f"x{i}" for i in range(n_extra)]
+    a, b = " ".join(a_toks), " ".join(b_toks)
+    # true Jaccard over hashed token k-shingle sets (the estimand)
+    h, off, _ = _token_shingle_hashes(pd.Series([a, b]), k)
+    sa = set(h[off[0] : off[1]].tolist())
+    sb = set(h[off[1] : off[2]].tolist())
+    true_j = len(sa & sb) / max(len(sa | sb), 1)
+    sig = _minhash_signatures(pd.Series([a, b]), 256, k, unit="token")
+    est = float((sig[0] == sig[1]).mean())
+    assert abs(est - true_j) <= 5 * np.sqrt(max(true_j * (1 - true_j), 0.01) / 256) + 1e-9
