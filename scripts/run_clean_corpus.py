@@ -66,6 +66,13 @@ def main() -> None:
     ap.add_argument("--langs", default=None, help="comma-separated lang allowlist (profile lang-id)")
     ap.add_argument("--partition-by", default=None, help="comma-separated output partition columns")
     ap.add_argument("--cpus", type=int, default=None, help="local mode cores (omit under spark-submit)")
+    ap.add_argument(
+        "--stage-checkpoint-dir",
+        default=None,
+        help="materialize each stage to <dir>/<stage> and RESUME a killed "
+        "run from the longest completed stage prefix (ignored if the "
+        "pipeline arguments changed since the checkpoints were written)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import functions as F
@@ -84,6 +91,50 @@ def main() -> None:
     t0 = time.time()
     metrics: dict = {"input": args.input, "stages": []}
 
+    # ---- per-stage checkpointing (resume a killed run without redoing
+    # completed stages — the cleaning-pipeline counterpart of the sketch
+    # job's lineage manifests) -------------------------------------------
+    import hashlib
+
+    sig_fields = [
+        args.input, args.id_col, args.text_col, args.near_dup,
+        args.near_dup_unit, args.near_dup_k, args.eval_table,
+        args.eval_text_col, args.decontaminate_n, args.decontaminate_unit,
+        args.min_quality, args.max_dup_word_ratio, args.langs,
+    ]
+    run_sig = hashlib.sha256(json.dumps(sig_fields, default=str).encode()).hexdigest()[:16]
+    ckpt_root = args.stage_checkpoint_dir
+
+    def _ckpt_path(name: str) -> str:
+        return os.path.join(ckpt_root, name)
+
+    def _ckpt_complete(name: str) -> bool:
+        d = _ckpt_path(name)
+        return (
+            os.path.exists(os.path.join(d, "_SUCCESS"))
+            and os.path.exists(os.path.join(d, "_RUN_SIG"))
+            and open(os.path.join(d, "_RUN_SIG")).read().strip() == run_sig
+        )
+
+    stage_order = (
+        ["exact_dedup"]
+        + (["near_dup_dedup"] if args.near_dup else [])
+        + (["decontaminate"] if args.eval_table else [])
+        + ["quality_filter"]
+        + (["lang_filter"] if args.langs else [])
+    )
+    # resume only a PREFIX of completed stages — an orphan checkpoint of
+    # a later stage (earlier one missing/corrupt) is recomputed
+    completed_prefix: list = []
+    if ckpt_root:
+        for s in stage_order:
+            if _ckpt_complete(s):
+                completed_prefix.append(s)
+            else:
+                break
+        if completed_prefix:
+            print(f"[clean-corpus] resuming after completed stages: {completed_prefix}")
+
     def stage(name: str, df, note: str = ""):
         n = df.count()
         prev = metrics["stages"][-1]["rows"] if metrics["stages"] else None
@@ -95,57 +146,79 @@ def main() -> None:
         print(f"[clean-corpus] {name}: {n} rows" + (f" (-{entry.get('removed', 0)})" if prev else ""))
         return df
 
+    def run_stage(name: str, fn, note: str = ""):
+        """Run (or resume) one named stage over the current `docs`."""
+        nonlocal docs
+        if ckpt_root and name in completed_prefix:
+            docs = spark.read.parquet(_ckpt_path(name))
+            stage(name, docs, note + " [resumed from checkpoint]")
+            return
+        out = fn(docs)
+        if ckpt_root:
+            d = _ckpt_path(name)
+            out.write.mode("overwrite").parquet(d)
+            with open(os.path.join(d, "_RUN_SIG"), "w") as f:
+                f.write(run_sig)
+            out = spark.read.parquet(d)  # cut lineage; downstream reads the materialization
+        else:
+            out = out.cache()
+        docs = out
+        stage(name, docs, note)
+
     docs = read_table(spark, args.input)
     docs = stage("input", docs)
 
     # 1. exact dedup — keeper = min id per content hash
-    docs = stage(
+    run_stage(
         "exact_dedup",
-        dedup_exact(docs, args.id_col, [args.text_col]).cache(),
+        lambda d: dedup_exact(d, args.id_col, [args.text_col]),
         "content-hash min-id keepers",
     )
 
     # 2. near-dup dedup (optional)
     if args.near_dup:
-        labels = minhash_lsh_dedup(
-            docs,
-            args.id_col,
-            args.text_col,
-            shingle_k=args.near_dup_k or 5,
-            shingle_unit=args.near_dup_unit,
-        )
-        keepers = labels.filter(F.col("id") == F.col("keeper_id")).select(
-            F.col("id").alias(args.id_col)
-        )
-        docs = stage(
-            "near_dup_dedup",
-            docs.join(keepers, args.id_col, "left_semi").cache(),
-            "MinHash LSH + pairwise verify",
-        )
+
+        def near_dup(d):
+            labels = minhash_lsh_dedup(
+                d,
+                args.id_col,
+                args.text_col,
+                shingle_k=args.near_dup_k or 5,
+                shingle_unit=args.near_dup_unit,
+            )
+            keepers = labels.filter(F.col("id") == F.col("keeper_id")).select(
+                F.col("id").alias(args.id_col)
+            )
+            return d.join(keepers, args.id_col, "left_semi")
+
+        run_stage("near_dup_dedup", near_dup, "MinHash LSH + pairwise verify")
 
     # 3. decontamination (optional)
     if args.eval_table:
-        ev = read_table(spark, args.eval_table)
-        flagged = decontaminate(
-            docs,
-            ev,
-            args.id_col,
-            args.text_col,
-            eval_text_col=args.eval_text_col,
-            n=args.decontaminate_n,
-            unit=args.decontaminate_unit,
-        )
-        docs = stage(
+
+        def decon(d):
+            ev = read_table(spark, args.eval_table)
+            flagged = decontaminate(
+                d,
+                ev,
+                args.id_col,
+                args.text_col,
+                eval_text_col=args.eval_text_col,
+                n=args.decontaminate_n,
+                unit=args.decontaminate_unit,
+            )
+            return d.join(flagged.select(args.id_col), args.id_col, "left_anti")
+
+        run_stage(
             "decontaminate",
-            docs.join(flagged.select(args.id_col), args.id_col, "left_anti").cache(),
+            decon,
             f"{args.decontaminate_n}-{args.decontaminate_unit}-gram overlap vs {args.eval_table}",
         )
 
     # 4. quality + repetition thresholds (pure Catalyst — no extra pass)
-    docs = with_repetition_signals(with_quality_score(docs, args.text_col), args.text_col)
-    docs = stage(
+    run_stage(
         "quality_filter",
-        docs.filter(
+        lambda d: with_repetition_signals(with_quality_score(d, args.text_col), args.text_col).filter(
             (F.col("quality_score") >= args.min_quality)
             & (F.col("dup_word_ratio") <= args.max_dup_word_ratio)
         ),
@@ -155,9 +228,9 @@ def main() -> None:
     # 5. language allowlist (optional)
     if args.langs:
         allow = [x.strip() for x in args.langs.split(",") if x.strip()]
-        docs = stage(
+        run_stage(
             "lang_filter",
-            with_lang_id_profiles(docs, args.text_col).filter(F.col("lang_id").isin(allow)),
+            lambda d: with_lang_id_profiles(d, args.text_col).filter(F.col("lang_id").isin(allow)),
             f"allow {allow}",
         )
 

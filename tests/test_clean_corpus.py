@@ -73,3 +73,65 @@ def test_pipeline_end_to_end(spark, tmp_path):
     assert sorted(r["doc_id"] for r in kept.select("doc_id").collect()) == [0, 3, 6, 7]
     assert m["format"] == "parquet"
     assert 0 < m["kept_frac"] < 1
+
+
+@pytest.mark.spark
+def test_pipeline_stage_checkpoint_resume(spark, tmp_path):
+    """r4: --stage-checkpoint-dir materializes each stage; a re-run
+    resumes from the longest completed stage prefix (no recompute), and
+    changing a pipeline argument invalidates the checkpoints."""
+    rows = [
+        (0, "the weather was cold this morning and the streets were quiet today"),
+        (1, "the weather was cold this morning and the streets were quiet today"),
+        (2, f"header words then {_EVAL_PASSAGE} and a trailing bit"),
+        (3, "zz zz zz zz zz zz zz zz zz zz zz zz"),
+        (4, "she said that they would arrive at the station before noon with the others"),
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame([(0, _EVAL_PASSAGE)], "i long, text string").write.parquet(ev)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(out_name, extra=()):
+        out = str(tmp_path / out_name)
+        metrics = str(tmp_path / f"{out_name}_metrics.json")
+        r = subprocess.run(
+            [
+                sys.executable, os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+                "--input", inp, "--id-col", "doc_id", "--text-col", "text",
+                "--eval-table", ev, "--min-quality", "0.0",
+                "--max-dup-word-ratio", "0.5",
+                "--stage-checkpoint-dir", ckpt,
+                "--output", out, "--metrics", metrics, "--cpus", "4",
+                *extra,
+            ],
+            capture_output=True, text=True, timeout=600, cwd=REPO,
+        )
+        assert r.returncode == 0, r.stderr[-2000:]
+        return json.load(open(metrics))
+
+    m1 = run("clean1")
+    assert all(
+        os.path.exists(os.path.join(ckpt, s, "_SUCCESS"))
+        for s in ("exact_dedup", "decontaminate", "quality_filter")
+    )
+    assert not any("resumed" in s["note"] for s in m1["stages"])
+
+    # second run: every stage resumes, same per-stage row counts
+    m2 = run("clean2")
+    resumed = [s["stage"] for s in m2["stages"] if "resumed from checkpoint" in s["note"]]
+    assert resumed == ["exact_dedup", "decontaminate", "quality_filter"]
+    assert [s["rows"] for s in m2["stages"]] == [s["rows"] for s in m1["stages"]]
+    a = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "clean1")).select("doc_id").collect())
+    b = sorted(r["doc_id"] for r in spark.read.parquet(str(tmp_path / "clean2")).select("doc_id").collect())
+    assert a == b == [0, 4]  # dup 1 gone, contaminated 2 gone, junk 3 gone
+
+    # orphan-prefix rule: drop the FIRST stage's checkpoint -> everything recomputes
+    os.remove(os.path.join(ckpt, "exact_dedup", "_SUCCESS"))
+    m3 = run("clean3")
+    assert not any("resumed" in s["note"] for s in m3["stages"])
+
+    # changed argument -> signature mismatch -> no resume
+    m4 = run("clean4", extra=("--decontaminate-n", "7"))
+    assert not any("resumed" in s["note"] for s in m4["stages"])
