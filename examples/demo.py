@@ -87,7 +87,7 @@ with_quality_score(with_token_counts(web.limit(1000))).select(
 ).show(3)
 with_lang_id(web.limit(20000), "text").groupBy("lang_id").count().orderBy(F.desc("count")).show(3)
 
-print("== 8a. natural-text language ID (trigram profiles) + repetition signals")
+print("== 8a. natural-text language ID (30 languages: trigram profiles + script ratios + char votes)")
 from hlld_spark.operators.lang_profiles import EVAL_SENTENCES, with_lang_id_profiles
 from hlld_spark.operators.text import with_repetition_signals
 
@@ -96,12 +96,12 @@ nat = spark.createDataFrame(
 )
 with_lang_id_profiles(nat, "text").groupBy("lang", "lang_id").count().filter(
     "lang != lang_id"
-).show(3)  # empty: 50/50 held-out natural sentences correct
+).show(3)  # empty: 150/150 held-out natural sentences across 30 languages correct
 with_repetition_signals(web.limit(1000)).select(
     "n_words", "n_distinct_words", "dup_word_ratio"
 ).show(3)
 
-print("== 8c. benchmark decontamination: flag docs sharing a 13-gram with an eval set")
+print("== 8c. benchmark decontamination: the published 13-TOKEN-gram rule (unit='char' also available)")
 from hlld_spark.operators.decontaminate import decontaminate
 
 eval_docs = web.filter(F.pmod(F.xxhash64("url"), F.lit(512)) == 0).select("text")

@@ -311,3 +311,52 @@ def pd_ts(s):
     import pandas as pd
 
     return pd.Timestamp(s)
+
+
+def test_streaming_decontamination_matches_batch(spark, tmp_path):
+    """r4: the decontamination probe composes with Structured Streaming
+    unchanged — `decontaminate` is one stateless mapInPandas over a
+    broadcast gram table, so pointing it at a readStream yields exactly
+    the batch flags as files arrive (the continuous-ingest counterpart
+    of the batch cleaning pipeline)."""
+    import pyspark.sql.functions as F
+
+    from hlld_spark.operators.decontaminate import decontaminate
+
+    passage = (
+        "the committee concluded that the proposed method outperforms every "
+        "baseline on all three held out evaluation suites by a wide margin"
+    )
+    rows = [(i, f"ordinary streaming document number {i} with plain words only here") for i in range(40)]
+    rows += [(100 + i, f"intro {passage} outro number {i}") for i in range(6)]
+    d = str(tmp_path / "stream_in")
+    batch_df = spark.createDataFrame(rows, "doc_id long, text string")
+    batch_df.repartition(4).write.parquet(d)
+    ev = spark.createDataFrame([(0, passage)], "i long, text string")
+
+    expected = sorted(
+        (r["doc_id"], r["n_matched_grams"])
+        for r in decontaminate(batch_df, ev, "doc_id", "text", n=13).collect()
+    )
+    assert len(expected) == 6  # the planted docs, token unit
+
+    stream = (
+        spark.readStream.schema(batch_df.schema).option("maxFilesPerTrigger", 1).parquet(d)
+    )
+    out = decontaminate(stream, ev, "doc_id", "text", n=13)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("decon_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = sorted(
+        (r["doc_id"], r["n_matched_grams"])
+        for r in spark.sql("select * from decon_stream").collect()
+    )
+    assert got == expected
