@@ -41,8 +41,6 @@ def _lang_id_profiles(texts: pd.Series) -> pd.Series:
 
 
 def _ngram_jaccard_batch(a: pd.Series, b: pd.Series, n: pd.Series) -> pd.Series:
-    from ..operators.dedup import _char_shingle_hashes
-
     if len(a) == 0:
         return pd.Series([], dtype=float)
     ks = n.unique()
@@ -57,16 +55,9 @@ def _ngram_jaccard_batch(a: pd.Series, b: pd.Series, n: pd.Series) -> pd.Series:
             out[m] = _ngram_jaccard_batch(a[m], b[m], n[m]).values
         return out
     k = int(ks[0])
-    ha, oa = _char_shingle_hashes(a.fillna(""), k)
-    hb, ob = _char_shingle_hashes(b.fillna(""), k)
-    out = np.zeros(len(a))
-    for i in range(len(a)):
-        sx = np.unique(ha[oa[i] : oa[i + 1]])
-        sy = np.unique(hb[ob[i] : ob[i + 1]])
-        inter = len(np.intersect1d(sx, sy, assume_unique=True))
-        union = len(sx) + len(sy) - inter
-        out[i] = inter / union if union else 1.0
-    return pd.Series(out, index=a.index)
+    from ..operators.dedup import _pairwise_jaccard_hashed
+
+    return pd.Series(_pairwise_jaccard_hashed(a, b, k), index=a.index)
 
 
 _ngram_jaccard = F.pandas_udf(_ngram_jaccard_batch, DoubleType())

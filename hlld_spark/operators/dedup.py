@@ -778,6 +778,31 @@ def simhash_dedup(
 # ---------------------------------------------------------------------------
 
 
+def _pairwise_jaccard_hashed(a: pd.Series, b: pd.Series, n: int) -> np.ndarray:
+    """Exact Jaccard of hashed char-n-gram sets for a batch of (a, b)
+    pairs: ONE shingle-hash pass per side, then per-pair
+    unique/intersect on the small slices.
+
+    Shared by :func:`ngram_jaccard_pairs` and the `ngram_jaccard` SQL
+    function. Measured note (r4): a fully-batched alternative (global
+    3-key lexsort over all shingles of both sides, dedupe, adjacency
+    count) is 8x SLOWER at realistic doc sizes (~250 shingles/doc,
+    20k-pair batch: 6.0 s vs 0.77 s) — sorting 250-element slices is
+    effectively free while a 10M-element lexsort is not, so the
+    per-pair slice loop IS the fast formulation; only the hashing is
+    worth batching."""
+    ha, oa = _char_shingle_hashes(a.fillna(""), n)
+    hb, ob = _char_shingle_hashes(b.fillna(""), n)
+    outv = np.zeros(len(a))
+    for i in range(len(a)):
+        sx = np.unique(ha[oa[i] : oa[i + 1]])
+        sy = np.unique(hb[ob[i] : ob[i + 1]])
+        inter = len(np.intersect1d(sx, sy, assume_unique=True))
+        union = len(sx) + len(sy) - inter
+        outv[i] = inter / union if union else 1.0
+    return outv
+
+
 def ngram_jaccard_pairs(
     pairs_df: DataFrame, text_a: str, text_b: str, n: int = 3, out: str = "jaccard",
     exact: bool = False, vectorized: bool | None = None,
@@ -816,16 +841,9 @@ def ngram_jaccard_pairs(
 
         @F.pandas_udf(DoubleType())
         def jac(a: pd.Series, b: pd.Series) -> pd.Series:
-            ha, oa = _char_shingle_hashes(a.fillna(""), n)
-            hb, ob = _char_shingle_hashes(b.fillna(""), n)
-            outv = np.zeros(len(a))
-            for i in range(len(a)):
-                sx = np.unique(ha[oa[i] : oa[i + 1]])
-                sy = np.unique(hb[ob[i] : ob[i + 1]])
-                inter = len(np.intersect1d(sx, sy, assume_unique=True))
-                union = len(sx) + len(sy) - inter
-                outv[i] = inter / union if union else 1.0
-            return pd.Series(outv)
+            if len(a) == 0:
+                return pd.Series(np.zeros(0))
+            return pd.Series(_pairwise_jaccard_hashed(a, b, n))
 
     return pairs_df.withColumn(out, jac(F.col(text_a), F.col(text_b)))
 

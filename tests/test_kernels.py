@@ -119,3 +119,41 @@ def test_char_shingles_no_runtime_warning():
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
         _char_shingle_hashes(pd.Series(["tiny", "also-short but longer than k"]), 10)
+
+
+@pytest.mark.parametrize("n", [2, 3, 5])
+def test_pairwise_jaccard_hashed_matches_per_pair(n):
+    """The r4 one-lexsort batch Jaccard equals the per-pair
+    unique/intersect formulation AND the true string-set Jaccard on
+    unicode/short/empty/identical pairs."""
+    from hlld_spark.operators.dedup import _pairwise_jaccard_hashed
+
+    rng = np.random.RandomState(3)
+    alph = "abcх日 "
+    pairs = [
+        ("", ""),
+        ("", "abc"),
+        ("abcdef", "abcdef"),
+        ("abcdef", "abcdxf"),
+        ("短い", "短い文"),
+        ("a b a b", "b a b a"),
+    ]
+    for _ in range(40):
+        la, lb = rng.randint(0, 25, size=2)
+        pairs.append(
+            (
+                "".join(alph[i] for i in rng.randint(0, len(alph), la)),
+                "".join(alph[i] for i in rng.randint(0, len(alph), lb)),
+            )
+        )
+    a = pd.Series([x for x, _ in pairs])
+    b = pd.Series([y for _, y in pairs])
+    got = _pairwise_jaccard_hashed(a, b, n)
+
+    def true_j(x, y):
+        sx = {x[i : i + n] for i in range(len(x) - n + 1)} or {x}
+        sy = {y[i : i + n] for i in range(len(y) - n + 1)} or {y}
+        return len(sx & sy) / len(sx | sy)
+
+    for (x, y), g in zip(pairs, got):
+        assert abs(g - true_j(x, y)) < 1e-12, (x, y, g, true_j(x, y))
