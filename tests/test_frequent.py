@@ -225,3 +225,16 @@ def test_heavy_hitters_two_scans_with_tree_reduce(spark, sf_dir):
         spark, ev, lambda d: heavy_hitters(d, "event_type", phi=0.1, summary_fan_in=2)
     )
     assert scans == 2.0
+
+
+def test_heavy_hitters_tree_reduce_long_keys(spark, sf_dir):
+    """The tree-reduce level round-trips non-string key types through
+    Arrow (to_arrow_type on the column's dataType) — exactness on a
+    bigint column with the reduce active."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").repartition(24)
+    base = _exact(o, "o_custkey", 0.002)
+    got = {
+        r["o_custkey"]: r["exact_count"]
+        for r in heavy_hitters(o, "o_custkey", phi=0.002, summary_fan_in=4).collect()
+    }
+    assert got == base
