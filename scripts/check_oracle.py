@@ -42,6 +42,11 @@ def main():
             con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # optional substring filters: `python scripts/check_oracle.py lang decon`
+    # runs only queries whose name contains any argument
+    if len(sys.argv) > 1:
+        pats = sys.argv[1:]
+        qs = {k: v for k, v in qs.items() if any(p in k for p in pats)}
     failures = 0
     for name, fn in qs.items():
         sdf = fn(spark, SF_DIR)
