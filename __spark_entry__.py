@@ -341,6 +341,41 @@ def _q_minhash_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_minhash_token_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKEN-unit MinHash-LSH recall gate (r5 — the cleaning pipeline's
+    near-dup default is now token shingles): every document gets a
+    near-copy with ONE appended token. At the fixture minimum of 10
+    whitespace tokens, true 4-token-gram Jaccard is (10−3)/(10−1) ≈
+    0.78, so with 64 bands of 2 rows a pair misses LSH with
+    probability (1−J²)^64 < 1e-20 and the 0.6 verify threshold sits
+    ~5σ below the 128-perm estimate — the violation set is exactly
+    empty, like the char-unit gate above."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.dedup import minhash_lsh_dedup
+
+    d = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    pert = d.select(
+        (F.col("doc_id") + 100000).alias("doc_id"), F.concat("text", F.lit(" zz")).alias("text")
+    )
+    corpus = d.unionAll(pert)
+    out = minhash_lsh_dedup(
+        corpus, "doc_id", "text", num_perm=128, bands=64, shingle_k=4,
+        threshold=0.6, closure_rounds=3, shingle_unit="token",
+    ).cache()
+    pairs = out.filter(F.col("id") >= 100000).select(
+        (F.col("id") - 100000).alias("doc_id"), F.col("keeper_id").alias("k_pert")
+    )
+    srcs = out.filter(F.col("id") < 100000).select(
+        F.col("id").alias("doc_id"), F.col("keeper_id").alias("k_src")
+    )
+    return (
+        pairs.join(srcs, "doc_id")
+        .filter(F.col("k_pert") != F.col("k_src"))
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-10 around vec_id=0's embedding; ids only
     (cosine float formatting differs engine-to-engine)."""
@@ -719,6 +754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantile_bound_violations": _q_quantile_bound_violations,
         "dedup_exact_keepers": _q_dedup_exact_keepers,
         "minhash_recall_violations": _q_minhash_recall_violations,
+        "minhash_token_recall_violations": _q_minhash_token_recall_violations,
         "cosine_topk": _q_cosine_topk,
         "text_stats": _q_text_stats,
         "lang_id_disagreement": _q_lang_id_disagreement,
@@ -838,6 +874,9 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "minhash_recall_violations": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0
+        """,
+        "minhash_token_recall_violations": """
             SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0
         """,
         "cosine_topk": """

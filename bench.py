@@ -35,21 +35,38 @@ def main():
 
     spark = get_spark(app_name="hlld-spark-bench", cpus=CPUS)
     timings: dict[str, float] = {}
+    repeat_times: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    max_repeats = int(os.environ.get("BENCH_MAX_REPEATS", str(repeats + 3)))
+
+    def loadavg() -> list[float]:
+        try:
+            with open("/proc/loadavg") as f:
+                return [float(x) for x in f.read().split()[:3]]
+        except OSError:
+            return []
+
+    load_start = loadavg()
 
     def timed(name, fn):
         # best-of-N: this host's virtualized cores are 2x-noisy under
-        # load (DEVNOTES.md) — the minimum is the steady-state number
-        best = None
+        # load (DEVNOTES.md) — the minimum is the steady-state number.
+        # Noise-evidence (VERDICT r4 #2): every repeat's wall time is
+        # recorded in the artifact, and when the spread exceeds 2x the
+        # query gets extra repeats (up to BENCH_MAX_REPEATS) so a
+        # neighbor-load spike can't masquerade as a regression.
+        times: list[float] = []
         result = None
-        for _ in range(repeats):
+        while len(times) < repeats or (
+            len(times) < max_repeats and max(times) > 2.0 * min(times)
+        ):
             t0 = time.time()
             result = fn()
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            times.append(round(time.time() - t0, 3))
+        timings[name] = min(times)
+        repeat_times[name] = times
         return result
 
     # materialize the web corpus once (generation excluded from timings)
@@ -241,7 +258,7 @@ def main():
     # per-query deltas vs the previous round's recorded bench (VERDICT
     # r1 task 10): negative = faster this round
     deltas = {}
-    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r03.json")
+    prev_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r04.json")
     try:
         with open(prev_path) as f:
             prev = json.load(f)["parsed"]["queries"]
@@ -255,7 +272,10 @@ def main():
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "deltas_vs_r03": deltas,
+                "repeats": repeat_times,
+                "loadavg_start": load_start,
+                "loadavg_end": loadavg(),
+                "deltas_vs_r04": deltas,
                 "sf": SF_DIR,
                 "cpus": CPUS,
                 "web_rows": WEB_ROWS,

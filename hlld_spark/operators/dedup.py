@@ -421,7 +421,10 @@ def minhash_signature_df(
     whitespace tokens (use shingle_k≈5..13 tokens); signatures from
     different units are NOT comparable — persisted corpus signature
     tables must be built and probed with the same (num_perm, shingle_k,
-    shingle_unit)."""
+    shingle_unit). The parameters are stamped into the signature
+    column's METADATA (survives a parquet round-trip), and
+    :func:`minhash_dedup_against` asserts they match at probe time
+    (ADVICE r4: a silent mismatch returned near-zero matches)."""
     out_schema = StructType(
         [df.schema[id_col], StructField("signature", BinaryType(), False)]
     )
@@ -433,7 +436,11 @@ def minhash_signature_df(
                 {id_col: pdf[id_col].values, "signature": [s.tobytes() for s in sig]}
             )
 
-    return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    out = df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
+    meta = {"num_perm": num_perm, "shingle_k": shingle_k, "shingle_unit": shingle_unit}
+    return out.select(
+        id_col, F.col("signature").alias("signature", metadata=meta)
+    )
 
 
 def minhash_bands(sig_df: DataFrame, id_col: str, num_perm: int, bands: int) -> DataFrame:
@@ -503,6 +510,25 @@ def minhash_dedup_against(
     """
     if corpus_id_col == id_col:
         raise ValueError("corpus_id_col must differ from id_col (join disambiguation)")
+    # refuse a probe whose parameters differ from the ones the persisted
+    # table was BUILT with (stamped by minhash_signature_df; survives
+    # parquet) — a mismatch silently yields near-zero matches otherwise.
+    # Tables written before the stamp existed carry no metadata and are
+    # accepted as-is (the docstring warning is then the only guard).
+    try:
+        stamped = dict(corpus_sig_df.schema["signature"].metadata or {})
+    except KeyError:
+        stamped = {}
+    want = {"num_perm": num_perm, "shingle_k": shingle_k, "shingle_unit": shingle_unit}
+    mismatches = {
+        k: (stamped[k], v) for k, v in want.items() if k in stamped and stamped[k] != v
+    }
+    if mismatches:
+        raise ValueError(
+            "corpus signature table was built with different minhash parameters "
+            f"than this probe: {mismatches} (stamped_value, probe_value) — "
+            "re-sign the corpus or probe with the stamped parameters"
+        )
     new_sigs = minhash_signature_df(new_df, id_col, text_col, num_perm, shingle_k, shingle_unit)
     nb = minhash_bands(new_sigs, id_col, num_perm, bands).withColumnRenamed("signature", "__sig_n")
     cb = minhash_bands(

@@ -297,8 +297,22 @@ def fit_ivf_centroids(
 ) -> np.ndarray:
     """k-means-lite on a driver-side sample (Lloyd iterations in numpy).
     The sample is bounded (default 4096 vectors) — independent of corpus
-    size; centroids broadcast to workers as closure constants."""
-    rows = df.select(vec_col).limit(sample).collect()
+    size; centroids broadcast to workers as closure constants.
+
+    The sample is the ``sample`` rows with the globally SMALLEST
+    ``xxhash64(vec)`` (bottom-k uniform sampling, VERDICT r4 #3): every
+    partition contributes by hash order, so a corpus whose files are
+    sorted/clustered (the normal crawl layout) still yields centroids
+    spanning all clusters — unlike a bare ``.limit()``, which takes
+    whatever rows the first partition returns. One pass, executed as
+    per-partition top-k (TakeOrderedAndProject), no count() and no full
+    sort shuffle; deterministic for a fixed table."""
+    rows = (
+        df.select(F.col(vec_col), F.xxhash64(vec_col).alias("__h"))
+        .orderBy("__h")
+        .limit(sample)
+        .collect()
+    )
     x = np.stack([np.asarray(r[0], dtype=np.float64) for r in rows])
     rng = np.random.RandomState(seed)
     cent = x[rng.choice(len(x), size=min(n_lists, len(x)), replace=False)]

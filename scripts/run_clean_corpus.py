@@ -46,12 +46,15 @@ def main() -> None:
     ap.add_argument("--near-dup", action="store_true", help="also MinHash-LSH near-dup dedup")
     ap.add_argument(
         "--near-dup-unit",
-        default="char",
-        choices=["char", "token"],
-        help="minhash shingle unit (token = SlimPajama/RefinedWeb-style token n-grams)",
+        default="token",
+        choices=["token", "char"],
+        help="minhash shingle unit (token = SlimPajama/RefinedWeb-style "
+        "token n-grams, the production web-dedup convention — default r5)",
     )
     ap.add_argument("--near-dup-k", type=int, default=None,
                     help="shingle size (default: 5 chars / 5 tokens)")
+    ap.add_argument("--near-dup-threshold", type=float, default=0.8,
+                    help="estimated-Jaccard threshold for near-dup clustering")
     ap.add_argument("--eval-table", default=None, help="benchmark table to decontaminate against")
     ap.add_argument("--eval-text-col", default=None)
     ap.add_argument("--decontaminate-n", type=int, default=13)
@@ -96,11 +99,29 @@ def main() -> None:
     # job's lineage manifests) -------------------------------------------
     import hashlib
 
+    def _input_fingerprint(path: str) -> list:
+        """File listing + sizes + mtimes of a LOCAL input — folded into
+        the run signature so checkpoints are invalidated when the data
+        at --input changes in place (ADVICE r4: same path, new data must
+        not silently resume from stale stages). Non-local URIs (s3:// …)
+        fall back to the path string — clear the checkpoint dir manually
+        when overwriting a remote input."""
+        if not os.path.isdir(path):
+            return [path]
+        out = []
+        for root, _dirs, files in sorted(os.walk(path)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                out.append([os.path.relpath(os.path.join(root, fn), path), st.st_size, st.st_mtime_ns])
+        return out
+
     sig_fields = [
         args.input, args.id_col, args.text_col, args.near_dup,
-        args.near_dup_unit, args.near_dup_k, args.eval_table,
-        args.eval_text_col, args.decontaminate_n, args.decontaminate_unit,
-        args.min_quality, args.max_dup_word_ratio, args.langs,
+        args.near_dup_unit, args.near_dup_k, args.near_dup_threshold,
+        args.eval_table, args.eval_text_col, args.decontaminate_n,
+        args.decontaminate_unit, args.min_quality, args.max_dup_word_ratio,
+        args.langs, _input_fingerprint(args.input),
+        _input_fingerprint(args.eval_table) if args.eval_table else None,
     ]
     run_sig = hashlib.sha256(json.dumps(sig_fields, default=str).encode()).hexdigest()[:16]
     ckpt_root = args.stage_checkpoint_dir
@@ -185,6 +206,7 @@ def main() -> None:
                 args.text_col,
                 shingle_k=args.near_dup_k or 5,
                 shingle_unit=args.near_dup_unit,
+                threshold=args.near_dup_threshold,
             )
             keepers = labels.filter(F.col("id") == F.col("keeper_id")).select(
                 F.col("id").alias(args.id_col)

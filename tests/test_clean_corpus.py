@@ -27,10 +27,17 @@ _EVAL_PASSAGE = (
 def test_pipeline_end_to_end(spark, tmp_path):
     # corpus: exact dups, a near-dup pair, a token-contaminated doc, a
     # char-gram near-miss, junk, and a non-English keeper
+    # near-dup pair texts are 25 tokens differing in the LAST token only:
+    # token 5-gram Jaccard = 20/22 ≈ 0.91 ≥ the 0.8 threshold (r5: the
+    # pipeline's near-dup default unit is token)
+    _base = (
+        "the weather was cold this morning and the streets were quiet while "
+        "the old market square stayed empty and the grey river moved slowly"
+    )
     rows = [
-        (0, "the weather was cold this morning and the streets were quiet today"),
-        (1, "the weather was cold this morning and the streets were quiet today"),  # exact dup of 0
-        (2, "the weather was cold this morning and the streets were quiet indeed"),  # near-dup of 0
+        (0, f"{_base} today"),
+        (1, f"{_base} today"),  # exact dup of 0
+        (2, f"{_base} instead"),  # near-dup of 0 (token J ≈ 0.91)
         (3, "she said that they would arrive at the station before noon with the others"),
         (4, f"header words then {_EVAL_PASSAGE} and a trailing bit"),  # planted token-13-gram
         (5, "zz zz zz zz zz zz zz zz zz zz zz zz"),  # repetition junk
@@ -135,3 +142,16 @@ def test_pipeline_stage_checkpoint_resume(spark, tmp_path):
     # changed argument -> signature mismatch -> no resume
     m4 = run("clean4", extra=("--decontaminate-n", "7"))
     assert not any("resumed" in s["note"] for s in m4["stages"])
+
+    # ADVICE r4: the run signature fingerprints the INPUT DATA (listing +
+    # sizes + mtimes), so rewriting the data at the same path must NOT
+    # silently resume from stale checkpoints
+    m5 = run("clean5", extra=("--decontaminate-n", "7"))
+    assert any("resumed" in s["note"] for s in m5["stages"])  # warm: resumes
+    spark.createDataFrame(
+        [(0, _EVAL_PASSAGE), (9, "a brand new document changes the input fingerprint")],
+        "doc_id long, text string",
+    ).write.mode("overwrite").parquet(inp)
+    m6 = run("clean6", extra=("--decontaminate-n", "7"))
+    assert not any("resumed" in s["note"] for s in m6["stages"])
+    assert m6["stages"][0]["rows"] == 2
