@@ -533,6 +533,31 @@ def _q_decontamination_flagged_tokens(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _q_clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pipeline's flagship composition, driver-gated (r5,
+    VERDICT r4 #7): exact dedup (min-id keeper per content group) ∘
+    token-unit decontamination (the published 13-token rule, eval =
+    every 23rd document) → surviving (doc_id, lang). Composes the SAME
+    operators `scripts/run_clean_corpus.py` chains (stages 1 and 3); the
+    DuckDB oracle is the min-id-per-text anti-join composed with the
+    token-window CTE of `decontamination_flagged_tokens`. Near-dup/
+    quality/lang stages have their own gates (minhash_*_recall,
+    repetition_signals, lang_id_*)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.decontaminate import decontaminate
+    from hlld_spark.operators.dedup import dedup_exact
+
+    docs = _load(spark, sf_dir, "documents")
+    kept = dedup_exact(docs, "doc_id", ["text"])
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    flagged = decontaminate(kept, ev, "doc_id", "text", n=13, unit="token")
+    return (
+        kept.join(flagged.select("doc_id"), "doc_id", "left_anti")
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
 
 
@@ -761,6 +786,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_natural_disagreement": _q_lang_id_natural_disagreement,
         "decontamination_flagged": _q_decontamination_flagged,
         "decontamination_flagged_tokens": _q_decontamination_flagged_tokens,
+        "clean_corpus_survivors": _q_clean_corpus_survivors,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -943,6 +969,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS n_matched_grams
             FROM dg JOIN ev USING (g)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "clean_corpus_survivors": r"""
+            WITH keep AS (
+              SELECT doc_id, lang, text FROM documents
+              WHERE doc_id IN (SELECT MIN(doc_id) FROM documents GROUP BY text)
+            ),
+            toks AS (
+              SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t FROM keep
+            ),
+            ev AS (
+              SELECT DISTINCT array_to_string(t[i:i+12], ' ') AS g
+              FROM (SELECT regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents WHERE doc_id % 23 = 0) e,
+                   LATERAL (SELECT UNNEST(range(1, len(t) - 11)) AS i) w
+              WHERE len(t) >= 13
+            ),
+            dg AS (
+              SELECT doc_id, array_to_string(t[i:i+12], ' ') AS g
+              FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) - 11)) AS i) w
+              WHERE len(t) >= 13
+            )
+            SELECT doc_id, lang FROM keep
+            WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM dg JOIN ev USING (g))
+            ORDER BY doc_id
         """,
         "multimodal_features": f"""
             SELECT asset_id, kind, width, height, channels, sample_rate, n_samples, n_frames,

@@ -51,7 +51,7 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
 from .dedup import _char_shingle_hashes, _splitmix, _token_shingle_hashes
@@ -205,6 +205,40 @@ def _flag_batch(member, texts: pd.Series, n: int, unit: str = "char") -> np.ndar
     return np.add.reduceat(hits.astype(np.int64), offsets[:-1])
 
 
+def _corpus_gram_occurrences(docs: DataFrame, id_col: str, text_col: str, n: int, unit: str) -> DataFrame:
+    """(id, gram_hash) — one row per n-gram OCCURRENCE of every doc
+    (short-doc sentinel hashes masked). The corpus side of the
+    distributed fallback join; never used when the eval side fits the
+    broadcast cap."""
+    schema = StructType([docs.schema[id_col], StructField("gram_hash", LongType(), False)])
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            h, offsets, units = _shingle(pdf[text_col], n, unit)
+            keep = np.ones(len(h), dtype=bool)
+            keep[offsets[:-1][units < n]] = False
+            per_doc = offsets[1:] - offsets[:-1]
+            ids = np.repeat(pdf[id_col].values, per_doc)[keep]
+            yield pd.DataFrame({id_col: ids, "gram_hash": h[keep].astype(np.int64)})
+
+    return docs.select(id_col, text_col).mapInPandas(extract, schema)
+
+
+def _flag_via_join(corpus_grams: DataFrame, eval_df: DataFrame, id_col: str,
+                   eval_text_col: str, n: int, unit: str) -> DataFrame:
+    """Distributed fallback (r5, VERDICT r4 #6): equi-join corpus gram
+    occurrences against the eval set's DISTINCT gram hashes, then count
+    per doc — identical flags/counts to the broadcast-probe path, at the
+    cost of shuffling the corpus's gram stream. Only taken when the eval
+    side exceeds ``max_eval_grams``."""
+    eval_grams = _gram_hashes_df(eval_df, eval_text_col, n, unit)
+    return (
+        corpus_grams.join(eval_grams, "gram_hash")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_matched_grams"))
+    )
+
+
 def decontaminate(
     docs: DataFrame,
     eval_df: DataFrame,
@@ -232,10 +266,25 @@ def decontaminate(
     method="bloom": broadcast this engine's Bloom over the eval hashes
     (~10 bits/gram at fpr 1e-3) — smaller broadcast, may over-flag at
     the documented fpr, never under-flags.
+
+    Crossover (r5): when the eval side's distinct gram count exceeds
+    ``max_eval_grams`` (default 2e7 ≈ 160 MB broadcast — real benchmarks
+    are far below it), the operator no longer raises: it falls back to a
+    distributed equi-join of the corpus's gram-hash stream against the
+    eval gram DataFrame (flags via groupBy count — identical results,
+    one corpus-gram shuffle instead of zero). The broadcast probe stays
+    the scale path; the join is the correctness net for corpus-sized
+    "eval" tables.
     """
     eval_text_col = eval_text_col or text_col
     spark = docs.sparkSession
-    table = eval_gram_table(eval_df, eval_text_col, n, max_eval_grams, unit)
+    try:
+        table = eval_gram_table(eval_df, eval_text_col, n, max_eval_grams, unit)
+    except ValueError:
+        return _flag_via_join(
+            _corpus_gram_occurrences(docs, id_col, text_col, n, unit),
+            eval_df, id_col, eval_text_col, n, unit,
+        )
     probe_state = _probe_blob(spark, table, method, bloom_fpr)
 
     schema = StructType(
@@ -287,10 +336,34 @@ def decontaminate_parquet(
     from ..sources.parquet_scan import map_parquet_batches
 
     eval_text_col = eval_text_col or text_col
-    table = eval_gram_table(eval_df, eval_text_col, n, max_eval_grams, unit)
+    id_field = spark.read.parquet(path).schema[id_col]
+    try:
+        table = eval_gram_table(eval_df, eval_text_col, n, max_eval_grams, unit)
+    except ValueError:
+        # same distributed-join fallback as :func:`decontaminate`, with
+        # the corpus gram stream produced by the worker-side scan
+        gram_schema = StructType([id_field, StructField("gram_hash", LongType(), False)])
+
+        def gfn(batches):
+            for rb in batches:
+                pdf = rb.to_pandas()
+                h, offsets, units = _shingle(pdf[text_col], n, unit)
+                keep = np.ones(len(h), dtype=bool)
+                keep[offsets[:-1][units < n]] = False
+                per_doc = offsets[1:] - offsets[:-1]
+                ids = np.repeat(pdf[id_col].values, per_doc)[keep]
+                if len(ids):
+                    yield pa.RecordBatch.from_pandas(
+                        pd.DataFrame({id_col: ids, "gram_hash": h[keep].astype(np.int64)}),
+                        preserve_index=False,
+                    )
+
+        corpus_grams = map_parquet_batches(
+            spark, path, gfn, gram_schema, [id_col, text_col], filter, batch_rows, files_per_task
+        )
+        return _flag_via_join(corpus_grams, eval_df, id_col, eval_text_col, n, unit)
     probe_state = _probe_blob(spark, table, method, bloom_fpr)
 
-    id_field = spark.read.parquet(path).schema[id_col]
     schema = StructType([id_field, StructField("n_matched_grams", LongType(), False)])
 
     def fn(batches):

@@ -41,6 +41,7 @@ import json
 import os
 import re
 import shutil
+import warnings
 
 import numpy as np
 
@@ -123,23 +124,37 @@ class SketchRegistry:
         pre-r3 ``config.json``. Returns None when neither exists."""
         ini = self._config_path(name)
         if os.path.exists(ini):
+            # ADVICE r4: a skipped-corrupt dir must leave a trace — an
+            # operator whose set vanishes from `list` needs to know why
+            def _skip(reason: str) -> None:
+                warnings.warn(
+                    f"registry discovery skipping sketch set {name!r}: "
+                    f"corrupt/partial {ini} ({reason})",
+                    RuntimeWarning,
+                    stacklevel=3,
+                )
+
             cp = configparser.ConfigParser(strict=False)
             try:
                 cp.read(ini)
             except configparser.Error:  # unparseable: skip, don't wedge boot
+                _skip("unparseable INI")
                 return None
             if "hlld" not in cp:  # malformed: skip, don't wedge _discover
+                _skip("missing [hlld] section")
                 return None
             sec = cp["hlld"]
             try:
                 p = sec.getint("default_precision", fallback=None)
             except ValueError:  # non-integer garbage
+                _skip("non-integer default_precision")
                 return None
             if p is None:
                 # ADVICE r3: a corrupt/partial config.ini must not
                 # prevent the whole registry from constructing (the
                 # reference tolerates missing keys at boot) — and the
                 # eps fallback must only be computed AFTER validating p
+                _skip("missing default_precision")
                 return None
             eps = sec.getfloat("default_eps", fallback=None)
             return {

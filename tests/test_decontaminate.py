@@ -157,6 +157,38 @@ def test_parquet_path_equivalence(spark, tmp_path):
     assert got == base and len(got) == 3
 
 
+def test_overflow_falls_back_to_distributed_join(spark, tmp_path):
+    """VERDICT r4 #6: an eval set past max_eval_grams no longer raises —
+    both paths fall back to a distributed gram equi-join producing
+    IDENTICAL flags and occurrence counts to the broadcast probe."""
+    from hlld_spark.operators.decontaminate import decontaminate_parquet
+
+    p = str(tmp_path / "docs.parquet")
+    _corpus(spark).write.parquet(p)
+    docs = spark.read.parquet(p)
+    ev = _eval_set(spark)
+    for unit, n in (("char", 13), ("token", 5)):
+        base = sorted(
+            (r["doc_id"], r["n_matched_grams"])
+            for r in decontaminate(docs, ev, "doc_id", "text", n=n, unit=unit).collect()
+        )
+        assert base, (unit, n)
+        joined = sorted(
+            (r["doc_id"], r["n_matched_grams"])
+            for r in decontaminate(
+                docs, ev, "doc_id", "text", n=n, unit=unit, max_eval_grams=3
+            ).collect()
+        )
+        assert joined == base, (unit, n)
+        joined_pq = sorted(
+            (r["doc_id"], r["n_matched_grams"])
+            for r in decontaminate_parquet(
+                spark, p, ev, "doc_id", "text", n=n, unit=unit, max_eval_grams=3
+            ).collect()
+        )
+        assert joined_pq == base, (unit, n)
+
+
 # ---------------------------------------------------------------------------
 # token-mode (the DEFAULT unit — the published 13-token rule, VERDICT r3 #1)
 # ---------------------------------------------------------------------------

@@ -178,5 +178,12 @@ def test_registry_tolerates_corrupt_config_dir(tmp_path):
     os.makedirs(bad2)
     with open(os.path.join(bad2, "config.ini"), "w") as f:
         f.write("default_precision = 12\n")
-    reg2 = SketchRegistry(root)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings(record=True) as caught:
+        _warnings.simplefilter("always")
+        reg2 = SketchRegistry(root)
     assert "good" in reg2._sets and "bad" not in reg2._sets and "bad2" not in reg2._sets
+    # ADVICE r4: each skipped dir leaves a trace naming the directory
+    msgs = [str(w.message) for w in caught if "skipping sketch set" in str(w.message)]
+    assert any("'bad'" in m for m in msgs) and any("'bad2'" in m for m in msgs), msgs
