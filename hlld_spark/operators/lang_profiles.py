@@ -24,8 +24,9 @@ my lo — one searchsorted over disjoint unicode ranges classifies every
 character), and per-language DISTINCTIVE-CHARACTER votes (ř→cs, ł→pl,
 ğ→tr, å→sv, ß→de, đ/ơ/ư→vi, …) that rescue short sentences whose few
 function words are shared across neighboring languages. 30 languages
-total, each gated by 5 held-out natural sentences
-(``EVAL_SENTENCES``).
+total, each gated by 25 held-out natural sentences (the 5
+``EVAL_SENTENCES`` driving the driver query + 20 more in
+``tests/lang_eval_extended.py``; per-language table in COVERAGE.md).
 
 Reference parity note: the reference (hlld) has no language ID — this is
 a brief-mandated training-data-pipeline companion operator.
@@ -54,7 +55,8 @@ _WORDS: dict[str, list[str]] = {
     "es": """de la que el en y a los del se las por un para con no una su
         al lo como más pero sus le ya o este sí porque esta entre cuando
         muy sin sobre también me hasta hay donde quien desde todo nos
-        durante todos uno les ni contra otros ese eso ante ellos""".split(),
+        durante todos uno les ni contra otros ese eso ante ellos nunca
+        tantos cada mientras veces""".split(),
     "de": """der die und in den von zu das mit sich des auf für ist im dem
         nicht ein eine als auch es an werden aus er hat daß sie nach wird
         bei einer um am sind noch wie einem über einen so zum war haben
@@ -68,11 +70,14 @@ _WORDS: dict[str, list[str]] = {
         mais as dos como mas foi ao ele das tem à seu sua ou ser quando
         muito há nos já está eu também só pelo pela até isso ela entre era
         depois sem mesmo aos ter seus quem nas me esse eles estão estava
-        estavam são lhe você às num numa após ainda onde então""".split(),
+        estavam são lhe você às num numa após ainda onde então durante
+        parte toda todas tantos nunca cada enquanto vez vezes esteve
+        sobre este esta ano anos""".split(),
     "it": """di a da in che e il un per è con non una su le si lo come più
         ma sono del al ha lei loro se nel anche della gli dei questo alla
         essere suo perché ci hanno tutto nella sua dal fra era quella
-        stato molto quando dalla questa così ne può senza dove primo""".split(),
+        stato molto quando dalla questa così ne può senza dove primo
+        durante parte ogni ancora dopo sempre""".split(),
     "nl": """de van het een en in is dat op te zijn met voor hij niet aan
         er die maar om door over ze bij ook tot je mij dan zou of wat mijn
         men dit zo kan geen worden nog wel moet hem naar heeft hebben deze

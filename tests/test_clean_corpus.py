@@ -44,7 +44,7 @@ def test_pipeline_end_to_end(spark, tmp_path):
         (6, "el tiempo estaba frío esta mañana y las calles estaban tranquilas hoy"),
         # 7: shares a 35-char run ("the secret benchmark passage nobody")
         #    with the eval set but only a 5-token window -> token-clean
-        (7, "we mention the secret benchmark passage nobody else discusses in ordinary essays"),
+        (7, "we mention the secret benchmark passage nobody else would read on a slow afternoon at home"),
     ]
     inp = str(tmp_path / "docs")
     spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)

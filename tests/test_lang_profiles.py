@@ -112,6 +112,57 @@ def test_round4_new_languages_present():
         assert len(sents) == 5, lang
 
 
+def test_extended_heldout_gate():
+    """r5 (VERDICT r4 #5): ≥25 held-out sentences per language (the 5
+    originals + 20 extended), 100% per-language accuracy — wide enough
+    to catch a profile regression in any single language. The
+    per-language table in COVERAGE.md is generated from this corpus
+    (scripts/lang_accuracy_table.py)."""
+    from tests.lang_eval_extended import EXTENDED_SENTENCES
+
+    assert set(EXTENDED_SENTENCES) == set(EVAL_SENTENCES)
+    texts, labels = [], []
+    for lang in sorted(EVAL_SENTENCES):
+        sents = EVAL_SENTENCES[lang] + EXTENDED_SENTENCES[lang]
+        assert len(sents) >= 25, lang
+        assert len(set(sents)) == len(sents), lang  # no duplicates
+        texts += sents
+        labels += [lang] * len(sents)
+    pred = list(_profile_lang_batch(pd.Series(texts)))
+    wrong = [(l, p, t) for l, p, t in zip(labels, pred, texts) if l != p]
+    per: dict = {}
+    for lang, p in zip(labels, pred):
+        ok, tot = per.get(lang, (0, 0))
+        per[lang] = (ok + (p == lang), tot + 1)
+    bad = {lang: f"{ok}/{tot}" for lang, (ok, tot) in per.items() if ok != tot}
+    assert not bad, (bad, wrong[:10])
+
+
+def test_max_chars_prefix_scoring():
+    """r5: max_chars caps the scored prefix (CLD2-style). A document
+    whose first 1000 chars are German followed by 100k chars of
+    profile-free junk is labeled from the prefix at the default cap,
+    identically to scoring the prefix alone; max_chars=None scores the
+    whole document; short docs are unaffected by the cap."""
+    de = (
+        "Das Wetter war heute Morgen kalt und die Straßen waren ruhig. "
+        "Er öffnete das Fenster und schaute eine Weile über den Fluss. "
+    )
+    prefix = (de * 20)[:1000]
+    junk = " qq zz xx vv kk jj ww " * 5000  # >100k chars, no profile trigrams
+    long_doc = prefix + junk
+    assert len(long_doc) > 100_000
+    capped = _profile_lang_batch(pd.Series([long_doc]))
+    assert list(capped) == ["de"]
+    assert list(capped) == list(_profile_lang_batch(pd.Series([prefix])))
+    # whole-doc scoring is still available and dilution-prone by design
+    whole = _profile_lang_batch(pd.Series([long_doc]), max_chars=None)
+    assert list(whole) == ["de"]  # junk matches nothing, so de still wins
+    # short docs: capped == uncapped
+    texts, labels = _corpus()
+    assert list(_profile_lang_batch(pd.Series(texts), max_chars=None)) == labels
+
+
 def test_distinctive_char_votes_rescue_short_sentences():
     """A short Czech sentence whose only function words (a, se, na) are
     shared with Romance/Slavic neighbors is decided by its ř/í — the
