@@ -138,6 +138,34 @@ def test_extended_heldout_gate():
     assert not bad, (bad, wrong[:10])
 
 
+def test_batch_trigram_hashes_matches_shared_kernel():
+    """r5: the lang kernel skips splitmix64 finalization (a bijection —
+    can't change equality) and addresses per-doc regions of one shared
+    buffer. Pin both claims: splitmix64(region hashes) must be
+    byte-identical to the shared shingle kernel's finalized trigram
+    stream for every doc, on unicode input including empty docs."""
+    from hlld_spark.operators.dedup import _char_shingle_hashes, _splitmix
+    from hlld_spark.operators.lang_profiles import _batch_trigram_hashes
+
+    docs = [
+        "the cat sat",
+        "",
+        "ab",  # shorter than a trigram
+        "čerstvé pečivo už není",
+        "日本語のテキストです",
+        "mixed ascii и кириллица",
+        " leading and trailing  ",
+    ]
+    h, bases, counts = _batch_trigram_hashes(docs)
+    for d, text in enumerate(docs):
+        region = h[bases[d] : bases[d] + counts[d]]
+        expect, _ = _char_shingle_hashes(pd.Series([f" {text} "]), 3)
+        if len(text) == 0:
+            assert counts[d] == 0  # shared kernel emits a sentinel; lang kernel nothing
+            continue
+        assert np.array_equal(_splitmix(region), expect), (d, text)
+
+
 def test_max_chars_prefix_scoring():
     """r5: max_chars caps the scored prefix (CLD2-style). A document
     whose first 1000 chars are German followed by 100k chars of
