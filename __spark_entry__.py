@@ -559,6 +559,42 @@ def _q_clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
+_REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_200.parquet"
+
+
+def _q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL-format codecs, driver-gated (r5): the fixture payloads are
+    actual PNG files (gray/RGB/RGBA, row filters None/Sub/Up) and
+    RIFF/WAVE PCM16 files (mono/stereo), decoded by the engine's pure
+    python/numpy codecs (operators/codecs.py — no PIL/ffmpeg). The
+    oracle reads GROUND-TRUTH columns stored at generation: header
+    fields (width/height/channels/sample_rate/n_samples) AND
+    decode-dependent statistics — channel-0 pixel mean for images, the
+    exact integer sum of the every-4th channel-0 samples for audio — so
+    a wrong unfilter or sample decode hash-mismatches, not just a wrong
+    header parse."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.multimodal import (
+        extract_image_features,
+        parse_metadata,
+        sample_audio_frames,
+        write_real_assets_fixture,
+    )
+
+    write_real_assets_fixture(_REAL_ASSETS_FIXTURE, 200)
+    assets = spark.read.parquet(_REAL_ASSETS_FIXTURE).select("asset_id", "kind", "payload")
+    out = sample_audio_frames(extract_image_features(parse_metadata(assets)), every_n=4)
+    return out.select(
+        "asset_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.channels").alias("channels"),
+        F.col("meta.sample_rate").alias("sample_rate"),
+        F.col("meta.n_samples").alias("n_samples"),
+        F.col("features")[0].alias("chan0_mean"),
+        F.expr("aggregate(frame_samples, 0L, (a, x) -> a + CAST(x AS BIGINT))").alias("samp_sum"),
+    ).orderBy("asset_id")
 
 
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -787,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_flagged": _q_decontamination_flagged,
         "decontamination_flagged_tokens": _q_decontamination_flagged_tokens,
         "clean_corpus_survivors": _q_clean_corpus_survivors,
+        "multimodal_real_codecs": _q_multimodal_real_codecs,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -993,6 +1030,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM keep
             WHERE doc_id NOT IN (SELECT DISTINCT doc_id FROM dg JOIN ev USING (g))
             ORDER BY doc_id
+        """,
+        "multimodal_real_codecs": f"""
+            SELECT asset_id, kind, width, height, channels,
+                   sample_rate, n_samples, chan0_mean, samp_sum
+            FROM read_parquet('{_REAL_ASSETS_FIXTURE}')
+            ORDER BY asset_id
         """,
         "multimodal_features": f"""
             SELECT asset_id, kind, width, height, channels, sample_rate, n_samples, n_frames,

@@ -114,6 +114,24 @@ from hlld_spark.operators.frequent import heavy_hitters
 hosts = web.select(F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"))
 heavy_hitters(hosts, "host", phi=0.01).orderBy(F.desc("exact_count")).show(5, truncate=False)
 
+print("== 8d. multimodal: REAL PNG/WAV decode (pure numpy codecs, no PIL/ffmpeg)")
+import numpy as np
+
+from hlld_spark.operators.codecs import encode_png, encode_wav
+from hlld_spark.operators.multimodal import extract_image_features, parse_metadata
+
+rng = np.random.RandomState(7)
+assets = spark.createDataFrame(
+    [
+        (0, bytearray(encode_png(rng.randint(0, 256, (32, 48, 3)).astype(np.uint8), filter_type=1))),
+        (1, bytearray(encode_wav(rng.randint(-2000, 2000, 16000).astype(np.int16), 16000))),
+    ],
+    "asset_id long, payload binary",
+)
+extract_image_features(parse_metadata(assets)).select(
+    "asset_id", "meta.kind", "meta.width", "meta.height", "meta.sample_rate", "features"
+).show(truncate=60)
+
 print("== 9. named sets: registry + wire protocol")
 reg = SketchRegistry(os.path.join(work, "sets"))
 reg.create("demo_urls", precision=14)

@@ -1,0 +1,274 @@
+"""Pure-python/numpy image & audio codecs — REAL formats, no PIL/ffmpeg.
+
+The container has no image/audio libraries, but two production formats
+need none: PNG is zlib (stdlib) + per-row prediction filters
+(RFC 2083 / W3C PNG spec), and WAV is a RIFF header around raw PCM.
+This module implements both from the public specifications so the
+multimodal operators decode REAL bytes end-to-end:
+
+* :func:`decode_png` — 8-bit greyscale / grey+alpha / RGB / RGBA /
+  palette, non-interlaced (the overwhelmingly common web case), all
+  five row filters (None/Sub/Up/Average/Paeth), CRC-validated.
+  Sub and Up unfilter vectorized (Sub is a per-byte-lane cumsum mod
+  256); Average/Paeth take the sequential per-byte path their data
+  dependency requires.
+* :func:`encode_png` — filter-0 rows + one zlib stream + CRCs; used for
+  deterministic test/bench fixtures (and valid input for any PNG
+  reader).
+* :func:`decode_wav` / :func:`encode_wav` — RIFF/WAVE PCM 16-bit and
+  8-bit, mono or multi-channel, chunk-walking parser (tolerates extra
+  chunks like LIST/fact).
+
+JPEG and video codecs remain honestly stubbed in ``multimodal.py``
+(entropy-coded DCT and inter-frame codecs are not reasonable to
+reimplement here); PNG + WAV upgrade the multimodal layer from
+fixture-only to real-format decode.
+
+Reference parity note: the reference (hlld) has no multimodal layer —
+this is a brief-mandated training-data-pipeline companion.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_CHANNELS_BY_COLOR_TYPE = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngFormatError(ValueError):
+    """Malformed or unsupported PNG payload."""
+
+
+def _chunks(data: bytes):
+    pos = 8
+    n = len(data)
+    while pos + 8 <= n:
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length:
+            raise PngFormatError(f"truncated chunk {ctype!r}")
+        crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise PngFormatError(f"CRC mismatch in chunk {ctype!r}")
+        yield ctype, body
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+
+
+def parse_png_header(data: bytes) -> tuple[int, int, int]:
+    """(width, height, channels) from IHDR alone — no decompression.
+    The cheap metadata path: parse_metadata uses this so a 100-TB scan
+    never inflates pixels it doesn't need."""
+    if data[:8] != PNG_MAGIC:
+        raise PngFormatError("not a PNG")
+    if data[12:16] != b"IHDR":
+        raise PngFormatError("first chunk is not IHDR")
+    w, h, depth, color_type = struct.unpack(">IIBB", data[16:26])
+    if color_type not in _CHANNELS_BY_COLOR_TYPE:
+        raise PngFormatError(f"unknown color type {color_type}")
+    channels = 3 if color_type == 3 else _CHANNELS_BY_COLOR_TYPE[color_type]
+    return w, h, channels
+
+
+def _paeth_row(row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Sequential Paeth unfilter for one row (left-neighbor dependency
+    makes full vectorization impossible; rows are short enough that the
+    per-byte loop is acceptable for the non-filter-0 foreign-PNG path)."""
+    out = np.empty_like(row)
+    for x in range(len(row)):
+        a = int(out[x - bpp]) if x >= bpp else 0
+        b = int(prev[x])
+        c = int(prev[x - bpp]) if x >= bpp else 0
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out[x] = (int(row[x]) + pred) & 0xFF
+    return out
+
+
+def _average_row(row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    out = np.empty_like(row)
+    for x in range(len(row)):
+        a = int(out[x - bpp]) if x >= bpp else 0
+        out[x] = (int(row[x]) + ((a + int(prev[x])) >> 1)) & 0xFF
+    return out
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG to an (H, W, C) uint8 array (C per color type;
+    palette images expand to RGB). Supports bit depth 8, non-interlaced
+    — raises :class:`PngFormatError` otherwise."""
+    if data[:8] != PNG_MAGIC:
+        raise PngFormatError("not a PNG")
+    width = height = None
+    color_type = depth = interlace = None
+    palette = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+    if width is None:
+        raise PngFormatError("missing IHDR")
+    if depth != 8:
+        raise PngFormatError(f"unsupported bit depth {depth} (only 8)")
+    if interlace != 0:
+        raise PngFormatError("interlaced PNG unsupported")
+    if color_type not in _CHANNELS_BY_COLOR_TYPE:
+        raise PngFormatError(f"unknown color type {color_type}")
+    nch = _CHANNELS_BY_COLOR_TYPE[color_type]
+    stride = width * nch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if len(raw) != height * (stride + 1):
+        raise PngFormatError("decompressed size mismatch")
+    raw = raw.reshape(height, stride + 1)
+    filters = raw[:, 0]
+    rows = raw[:, 1:]
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(height):
+        f = int(filters[y])
+        row = rows[y]
+        if f == 0:  # None
+            rec = row.copy()
+        elif f == 1:  # Sub: cumsum per byte lane mod 256 (vectorized)
+            rec = row.reshape(-1, nch).astype(np.int64).cumsum(axis=0) % 256
+            rec = rec.astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up (vectorized)
+            rec = row + prev
+        elif f == 3:
+            rec = _average_row(row, prev, nch)
+        elif f == 4:
+            rec = _paeth_row(row, prev, nch)
+        else:
+            raise PngFormatError(f"unknown filter {f} in row {y}")
+        out[y] = rec
+        prev = rec
+    px = out.reshape(height, width, nch)
+    if color_type == 3:
+        if palette is None:
+            raise PngFormatError("palette image without PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:
+    """Encode an (H, W) or (H, W, C) uint8 array (C in {1,2,3,4}) as a
+    valid PNG: one zlib stream, CRC-stamped chunks. ``filter_type``
+    selects the row predictor for every row — 0 None (default), 1 Sub,
+    2 Up — so fixtures can exercise the decoder's unfilter paths."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}.get(c)
+    if color_type is None:
+        raise PngFormatError(f"cannot encode {c}-channel array")
+    flat = arr.reshape(h, w * c)
+    raw = np.empty((h, w * c + 1), dtype=np.uint8)
+    raw[:, 0] = filter_type
+    if filter_type == 0:
+        raw[:, 1:] = flat
+    elif filter_type == 1:  # Sub: delta vs the pixel to the left
+        raw[:, 1:] = flat
+        raw[:, 1 + c :] = flat[:, c:] - flat[:, :-c]
+    elif filter_type == 2:  # Up: delta vs the row above
+        raw[:, 1:] = flat
+        raw[1:, 1:] = flat[1:] - flat[:-1]
+    else:
+        raise PngFormatError(f"encoder supports filter types 0/1/2 (got {filter_type})")
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return PNG_MAGIC + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF/WAVE, PCM)
+# ---------------------------------------------------------------------------
+
+WAV_MAGIC = b"RIFF"
+
+
+class WavFormatError(ValueError):
+    """Malformed or unsupported WAV payload."""
+
+
+def parse_wav_header(data: bytes) -> tuple[int, int, int]:
+    """(sample_rate, n_samples, channels) from the fmt/data chunk
+    HEADERS alone — data bytes are never touched."""
+    sr, _bits, ch, n, _off = _walk_wav(data)
+    return sr, n, ch
+
+
+def _walk_wav(data: bytes) -> tuple[int, int, int, int, int]:
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise WavFormatError("not a RIFF/WAVE file")
+    pos = 12
+    sr = bits = ch = None
+    data_off = data_len = None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
+            if fmt != 1:
+                raise WavFormatError(f"only PCM supported (fmt tag {fmt})")
+        elif cid == b"data":
+            data_off, data_len = pos + 8, clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if sr is None or data_off is None:
+        raise WavFormatError("missing fmt or data chunk")
+    if bits not in (8, 16):
+        raise WavFormatError(f"only 8/16-bit PCM supported (got {bits})")
+    n = data_len // (ch * (bits // 8))
+    return sr, bits, ch, n, data_off
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """(samples, sample_rate): samples int16, shape (n,) mono or
+    (n, channels). 8-bit PCM (unsigned) is widened to int16."""
+    sr, bits, ch, n, off = _walk_wav(data)
+    nbytes = n * ch * (bits // 8)
+    body = data[off : off + nbytes]
+    if bits == 16:
+        x = np.frombuffer(body, dtype="<i2").astype(np.int16)
+    else:  # 8-bit PCM is unsigned, midpoint 128
+        x = ((np.frombuffer(body, dtype=np.uint8).astype(np.int16) - 128) << 8).astype(np.int16)
+    return (x.reshape(n, ch) if ch > 1 else x), sr
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode int16 samples — shape (n,) or (n, channels) — as PCM16
+    RIFF/WAVE."""
+    x = np.asarray(samples, dtype="<i2")
+    if x.ndim == 1:
+        x = x[:, None]
+    n, ch = x.shape
+    body = x.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, sample_rate * ch * 2, ch * 2, 16)
+    riff = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff

@@ -2,9 +2,15 @@
 
 Spark-side plumbing is REAL and tested: schema conventions, header
 parsing, Arrow-batched UDF signatures, partition-friendly batch shapes.
-The codec step (JPEG/PNG/audio decode) is STUBBED — the container has
-no image/audio libraries — behind `try: import PIL` with a deterministic
-fake decoder for the engine's own binary format, clearly marked.
+
+Codecs (r5): **PNG and WAV decode for REAL** — pure python/numpy
+implementations from the public specs (``operators/codecs.py``; PNG is
+zlib + row filters, WAV is RIFF around PCM; neither needs PIL/ffmpeg).
+parse_metadata reads PNG IHDR / WAV fmt+data HEADERS without inflating
+pixel or sample data; extract_image_features / resize_images accept PNG
+payloads; sample_audio_frames accepts WAV. JPEG and video codecs remain
+honestly STUBBED behind `try: import PIL` (entropy-coded DCT /
+inter-frame codecs; the container has no image libraries).
 
 Binary format for synthetic fixtures (self-describing, parsed for real):
     b"FIMG" | u16 width | u16 height | u8 channels | payload bytes
@@ -32,10 +38,20 @@ from pyspark.sql.types import (
 )
 
 from ..sources.webpages import splitmix64
+from .codecs import (
+    PNG_MAGIC,
+    PngFormatError,
+    WavFormatError,
+    decode_png,
+    decode_wav,
+    parse_png_header,
+    parse_wav_header,
+)
 
 _IMG_MAGIC = b"FIMG"
 _AUD_MAGIC = b"FAUD"
 _VID_MAGIC = b"FVID"
+_WAV_MAGIC = b"RIFF"
 
 METADATA_SCHEMA = StructType(
     [
@@ -141,6 +157,79 @@ def write_assets_fixture(path: str, n: int, seed: int = 42) -> str:
     return path
 
 
+def _gen_real_asset(i: int, seed: int) -> dict:
+    """One deterministic REAL-format asset row (r5): even ids → PNG
+    (channels cycling 1/3/4, row filter cycling None/Sub/Up so the
+    decoder's unfilter paths are all exercised), odd ids → WAV (PCM16,
+    mono/stereo alternating). Ground-truth columns cover both the
+    HEADER fields and a DECODE-dependent statistic (first-channel pixel
+    mean / sample mean), so the oracle catches a wrong decode, not just
+    a wrong header parse."""
+    from .codecs import encode_png, encode_wav
+
+    r = int(splitmix64(np.array([np.uint64(i * 2 + 1) ^ np.uint64(seed)], dtype=np.uint64))[0])
+    row = {
+        "asset_id": int(i), "kind": None, "payload": None,
+        "width": None, "height": None, "channels": None,
+        "sample_rate": None, "n_samples": None,
+        "chan0_mean": None, "samp_sum": None,
+    }
+    if i % 2 == 0:
+        w, h = 4 + r % 29, 4 + (r >> 8) % 29
+        c = (1, 3, 4)[(i // 2) % 3]
+        body = np.frombuffer(_det_bytes(i, w * h * c, seed), dtype=np.uint8).reshape(h, w, c)
+        # truth mean computed with the SAME float64-mean + python-round
+        # pipeline extract_image_features uses — bit-identical by path
+        row.update(
+            kind="image", width=w, height=h, channels=c,
+            payload=encode_png(body, filter_type=(i // 2) % 3),
+            chan0_mean=round(float(body.astype(np.float64)[:, :, 0].mean()), 6),
+        )
+    else:
+        sr = 8000 * (1 + (r >> 16) % 3)
+        ns = 32 + (r >> 24) % 200
+        ch = 1 + (i // 2) % 2
+        samples = np.frombuffer(_det_bytes(i, ns * ch * 2, seed), dtype="<i2").reshape(ns, ch)
+        # truth = exact integer sum of the every-4th channel-0 samples
+        # (what sample_audio_frames emits) — no float rounding in play
+        row.update(
+            kind="audio", sample_rate=sr, n_samples=ns,
+            payload=encode_wav(samples, sr),
+            samp_sum=int(samples[::4, 0].astype(np.int64).sum()),
+        )
+    return row
+
+
+def write_real_assets_fixture(path: str, n: int, seed: int = 42) -> str:
+    """Materialize the REAL-format (PNG/WAV) asset fixture to one
+    parquet file with ground-truth columns (idempotent)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = [_gen_real_asset(i, seed) for i in range(n)]
+    cols = {
+        "asset_id": pa.array([r["asset_id"] for r in rows], pa.int64()),
+        "kind": pa.array([r["kind"] for r in rows], pa.string()),
+        "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        "width": pa.array([r["width"] for r in rows], pa.int32()),
+        "height": pa.array([r["height"] for r in rows], pa.int32()),
+        "channels": pa.array([r["channels"] for r in rows], pa.int32()),
+        "sample_rate": pa.array([r["sample_rate"] for r in rows], pa.int32()),
+        "n_samples": pa.array([r["n_samples"] for r in rows], pa.int32()),
+        "chan0_mean": pa.array([r["chan0_mean"] for r in rows], pa.float64()),
+        "samp_sum": pa.array([r["samp_sum"] for r in rows], pa.int64()),
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def _det_bytes(asset_id: int, n: int, seed: int) -> bytes:
     words = (n + 7) // 8
     off = (int(asset_id) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF  # explicit u64 wrap
@@ -165,6 +254,19 @@ def parse_metadata(df: DataFrame, payload_col: str = "payload", out: str = "meta
             elif b[:4] == _VID_MAGIC:
                 w, h, c, nf = struct.unpack("<HHBH", b[4:11])
                 rows.append(("video", w, h, c, None, None, nf, len(b) - 11))
+            elif b[:8] == PNG_MAGIC:
+                # real format (r5): IHDR fields only — pixels never inflate here
+                try:
+                    w, h, c = parse_png_header(b)
+                    rows.append(("image", w, h, c, None, None, None, len(b)))
+                except PngFormatError:
+                    rows.append(("unknown", None, None, None, None, None, None, len(b)))
+            elif b[:4] == _WAV_MAGIC and b[8:12] == b"WAVE":
+                try:
+                    sr, ns, _ch = parse_wav_header(b)
+                    rows.append(("audio", None, None, None, sr, ns, None, len(b)))
+                except WavFormatError:
+                    rows.append(("unknown", None, None, None, None, None, None, len(b)))
             else:
                 rows.append(("unknown", None, None, None, None, None, None, len(b)))
         return pd.DataFrame(
@@ -175,16 +277,23 @@ def parse_metadata(df: DataFrame, payload_col: str = "payload", out: str = "meta
     return df.withColumn(out, meta_udf(F.col(payload_col)))
 
 
+def _is_image_payload(b: bytes) -> bool:
+    return b[:4] == _IMG_MAGIC or b[:8] == PNG_MAGIC
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode to an HxWxC uint8 array. Real codecs are STUBBED: for the
-    engine's own FIMG format this is a true decode of the payload bytes;
-    for real formats (JPEG/PNG) it raises unless PIL is installed."""
+    """Decode to an HxWxC uint8 array. REAL for PNG (r5 — pure
+    python/numpy codec, ``operators/codecs.py``) and for the engine's
+    own FIMG fixture format; JPEG and friends remain stubbed behind PIL
+    (absent in this container)."""
     if payload[:4] == _IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", payload[4:9])
         body = np.frombuffer(payload[9 : 9 + w * h * c], dtype=np.uint8)
         if len(body) < w * h * c:
             body = np.pad(body, (0, w * h * c - len(body)))
         return body.reshape(h, w, c)
+    if payload[:8] == PNG_MAGIC:
+        return decode_png(payload)
     try:  # pragma: no cover - container has no PIL
         import io
 
@@ -193,7 +302,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError:
         raise NotImplementedError(
-            "real image codecs unavailable in this environment; only the FIMG fixture format decodes"
+            "JPEG and other entropy-coded image formats need PIL (absent here); "
+            "PNG and the FIMG fixture format decode for real"
         ) from None
 
 
@@ -209,7 +319,7 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload", out: str
             vals = []
             for b in pdf[payload_col]:
                 b = bytes(b)
-                if b[:4] != _IMG_MAGIC:
+                if not _is_image_payload(b):
                     vals.append(None)
                     continue
                 px = _decode_image(b).astype(np.float64)
@@ -224,8 +334,11 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload", out: str
 
 
 def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "payload", out: str = "resized") -> DataFrame:
-    """Nearest-neighbor resize of FIMG payloads (real vectorized resample
-    for the fixture format; real codecs stubbed as in _decode_image)."""
+    """Nearest-neighbor resize. Output format mirrors the input: PNG in
+    → PNG out (re-encoded with the pure codec, r5); FIMG in → FIMG out.
+    JPEG stubbed as in _decode_image."""
+    from .codecs import encode_png
+
     fields = list(df.schema.fields) + [StructField(out, BinaryType(), True)]
     schema = StructType(fields)
 
@@ -234,14 +347,17 @@ def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "pa
             vals = []
             for b in pdf[payload_col]:
                 b = bytes(b)
-                if b[:4] != _IMG_MAGIC:
+                if not _is_image_payload(b):
                     vals.append(None)
                     continue
                 px = _decode_image(b)
                 ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
                 xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
                 rs = px[ys][:, xs]
-                vals.append(_IMG_MAGIC + struct.pack("<HHB", width, height, px.shape[2]) + rs.tobytes())
+                if b[:8] == PNG_MAGIC:
+                    vals.append(encode_png(rs))
+                else:
+                    vals.append(_IMG_MAGIC + struct.pack("<HHB", width, height, px.shape[2]) + rs.tobytes())
             pdf = pdf.copy()
             pdf[out] = vals
             yield pdf
@@ -284,7 +400,9 @@ def sample_video_frames(
 
 
 def sample_audio_frames(df: DataFrame, every_n: int = 4, payload_col: str = "payload", out: str = "frame_samples") -> DataFrame:
-    """Every-Nth-sample decimation of FAUD payloads (int16 samples)."""
+    """Every-Nth-sample decimation (int16 samples) — FAUD fixture
+    payloads and REAL RIFF/WAVE PCM (r5, ``codecs.decode_wav``;
+    multi-channel WAV decimates frame-wise on channel 0)."""
     fields = list(df.schema.fields) + [StructField(out, ArrayType(IntegerType()), True)]
     schema = StructType(fields)
 
@@ -293,11 +411,20 @@ def sample_audio_frames(df: DataFrame, every_n: int = 4, payload_col: str = "pay
             vals = []
             for b in pdf[payload_col]:
                 b = bytes(b)
-                if b[:4] != _AUD_MAGIC:
+                if b[:4] == _AUD_MAGIC:
+                    sr, ns = struct.unpack("<II", b[4:12])
+                    samples = np.frombuffer(b[12 : 12 + ns * 2], dtype="<i2")
+                elif b[:4] == _WAV_MAGIC and b[8:12] == b"WAVE":
+                    try:
+                        samples, _sr = decode_wav(b)
+                    except WavFormatError:
+                        vals.append(None)
+                        continue
+                    if samples.ndim == 2:
+                        samples = samples[:, 0]
+                else:
                     vals.append(None)
                     continue
-                sr, ns = struct.unpack("<II", b[4:12])
-                samples = np.frombuffer(b[12 : 12 + ns * 2], dtype="<i2")
                 vals.append([int(x) for x in samples[::every_n]])
             pdf = pdf.copy()
             pdf[out] = vals

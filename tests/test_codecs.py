@@ -1,0 +1,201 @@
+"""Pure-python PNG/WAV codecs (r5) — the real-format multimodal layer.
+
+Covers: encode/decode round-trips for every supported channel count and
+row filter, an INDEPENDENT reference unfilter implementation for all 5
+PNG filter types, palette expansion, CRC/format rejection, WAV chunk
+walking (extra chunks, 8-bit widening, stereo), and the Spark operators
+over real PNG/WAV payload columns.
+"""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from hlld_spark.operators.codecs import (
+    PNG_MAGIC,
+    PngFormatError,
+    WavFormatError,
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav,
+    parse_png_header,
+    parse_wav_header,
+)
+
+
+def _chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def test_png_round_trip_shapes_and_filters():
+    rng = np.random.RandomState(0)
+    for shape in [(1, 1), (7, 3), (16, 16, 3), (5, 9, 4), (12, 1, 2), (3, 300, 3)]:
+        for ftype in (0, 1, 2):
+            a = rng.randint(0, 256, size=shape).astype(np.uint8)
+            ref = a if a.ndim == 3 else a[:, :, None]
+            data = encode_png(a, filter_type=ftype)
+            assert np.array_equal(decode_png(data), ref), (shape, ftype)
+            w, h, c = parse_png_header(data)
+            assert (w, h, c) == (ref.shape[1], ref.shape[0], ref.shape[2])
+
+
+def _ref_unfilter(ftype, row, prev, bpp):
+    """Independent spec-literal unfilter (per-byte, used only as the
+    test oracle for the vectorized decoder paths)."""
+    out = []
+    for x, v in enumerate(row):
+        a = out[x - bpp] if x >= bpp else 0
+        b = prev[x]
+        c = prev[x - bpp] if x >= bpp else 0
+        if ftype == 0:
+            p = 0
+        elif ftype == 1:
+            p = a
+        elif ftype == 2:
+            p = b
+        elif ftype == 3:
+            p = (a + b) // 2
+        else:
+            q = a + b - c
+            pa, pb, pc = abs(q - a), abs(q - b), abs(q - c)
+            p = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+        out.append((v + p) & 0xFF)
+    return out
+
+
+def test_png_all_five_filters_match_reference():
+    rng = np.random.RandomState(3)
+    w, h, c = 6, 5, 3
+    filt_rows = [(f, list(rng.randint(0, 256, size=w * c))) for f in (0, 1, 2, 3, 4)]
+    raw = b"".join(bytes([f]) + bytes(r) for f, r in filt_rows)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+    prev, exp = [0] * (w * c), []
+    for f, r in filt_rows:
+        rec = _ref_unfilter(f, r, prev, c)
+        exp.append(rec)
+        prev = rec
+    expect = np.array(exp, dtype=np.uint8).reshape(h, w, c)
+    assert np.array_equal(decode_png(png), expect)
+
+
+def test_png_palette_expands_to_rgb():
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, size=(4, 3)).astype(np.uint8)
+    idx = rng.randint(0, 4, size=(3, 5)).astype(np.uint8)
+    raw = b"".join(b"\x00" + bytes(r) for r in idx)
+    png = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 3, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", pal.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), pal[idx])
+    assert parse_png_header(png) == (5, 3, 3)  # palette reports 3 channels
+
+
+def test_png_rejections():
+    good = encode_png(np.zeros((4, 4, 3), np.uint8))
+    bad_crc = bytearray(good)
+    bad_crc[40] ^= 0xFF
+    with pytest.raises(PngFormatError):
+        decode_png(bytes(bad_crc))
+    with pytest.raises(PngFormatError):
+        decode_png(b"not a png at all")
+    # 16-bit depth rejected, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + _chunk(b"IEND", b"")
+    with pytest.raises(PngFormatError, match="bit depth"):
+        decode_png(deep)
+    # interlaced rejected
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    inter = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + _chunk(b"IEND", b"")
+    with pytest.raises(PngFormatError, match="interlaced"):
+        decode_png(inter)
+
+
+def test_wav_round_trip_mono_stereo_and_header():
+    rng = np.random.RandomState(1)
+    for shape in [(100,), (64, 2)]:
+        s = rng.randint(-32768, 32767, size=shape).astype(np.int16)
+        b = encode_wav(s, 16000)
+        d, sr = decode_wav(b)
+        assert sr == 16000 and np.array_equal(d.reshape(s.shape), s)
+        sr2, n, ch = parse_wav_header(b)
+        assert (sr2, n, ch) == (16000, shape[0], shape[1] if len(shape) > 1 else 1)
+
+
+def test_wav_extra_chunks_and_8bit():
+    # hand-build: LIST chunk before fmt, odd-length chunk padding, 8-bit PCM
+    samples8 = bytes([0, 128, 255, 64])
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 8000, 1, 8)
+    inner = (
+        b"WAVE"
+        + b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # odd length + pad
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(samples8)) + samples8
+    )
+    wav = b"RIFF" + struct.pack("<I", len(inner)) + inner
+    d, sr = decode_wav(wav)
+    assert sr == 8000
+    assert list(d) == [(v - 128) << 8 for v in [0, 128, 255, 64]]
+    with pytest.raises(WavFormatError):
+        decode_wav(b"RIFFxxxxJUNK")
+    # non-PCM rejected
+    bad_fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)  # IEEE float
+    inner = b"WAVE" + b"fmt " + struct.pack("<I", len(bad_fmt)) + bad_fmt + b"data" + struct.pack("<I", 0)
+    with pytest.raises(WavFormatError, match="PCM"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(inner)) + inner)
+
+
+@pytest.mark.spark
+def test_spark_operators_on_real_formats(spark):
+    """parse_metadata / extract_image_features / resize_images /
+    sample_audio_frames over a real PNG + WAV payload column."""
+    from pyspark.sql import functions as F
+
+    from hlld_spark.operators.multimodal import (
+        extract_image_features,
+        parse_metadata,
+        resize_images,
+        sample_audio_frames,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, size=(10, 6, 3)).astype(np.uint8)
+    aud = rng.randint(-1000, 1000, size=(50,)).astype(np.int16)
+    rows = [
+        (0, bytearray(encode_png(img, filter_type=1))),
+        (1, bytearray(encode_wav(aud, 22050))),
+        (2, bytearray(b"garbage bytes")),
+    ]
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    md = {r["asset_id"]: r["meta"] for r in parse_metadata(df).collect()}
+    assert (md[0]["kind"], md[0]["width"], md[0]["height"], md[0]["channels"]) == ("image", 6, 10, 3)
+    assert (md[1]["kind"], md[1]["sample_rate"], md[1]["n_samples"]) == ("audio", 22050, 50)
+    assert md[2]["kind"] == "unknown"
+
+    feats = {r["asset_id"]: r["features"] for r in extract_image_features(df).collect()}
+    assert feats[1] is None and feats[2] is None
+    assert feats[0][0] == round(float(img.astype(np.float64)[:, :, 0].mean()), 6)
+
+    rs = {r["asset_id"]: r["resized"] for r in resize_images(df, 4, 4).collect()}
+    assert rs[1] is None
+    out = decode_png(bytes(rs[0]))  # PNG in -> PNG out
+    assert out.shape == (4, 4, 3)
+    ys = (np.arange(4) * 10 // 4).clip(0, 9)
+    xs = (np.arange(4) * 6 // 4).clip(0, 5)
+    assert np.array_equal(out, img[ys][:, xs])
+
+    smp = {r["asset_id"]: r["frame_samples"] for r in sample_audio_frames(df, every_n=4).collect()}
+    assert smp[0] is None
+    assert smp[1] == [int(x) for x in aud[::4]]
