@@ -559,31 +559,36 @@ def _q_clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
-_REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_200.parquet"
+_REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v2_200.parquet"
 
 
 def _q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL-format codecs, driver-gated (r5): the fixture payloads are
-    actual PNG files (gray/RGB/RGBA, row filters None/Sub/Up) and
-    RIFF/WAVE PCM16 files (mono/stereo), decoded by the engine's pure
-    python/numpy codecs (operators/codecs.py — no PIL/ffmpeg). The
-    oracle reads GROUND-TRUTH columns stored at generation: header
-    fields (width/height/channels/sample_rate/n_samples) AND
-    decode-dependent statistics — channel-0 pixel mean for images, the
-    exact integer sum of the every-4th channel-0 samples for audio — so
-    a wrong unfilter or sample decode hash-mismatches, not just a wrong
-    header parse."""
+    """REAL-format codecs for all three modalities, driver-gated (r5):
+    the fixture payloads are actual PNG files (gray/RGB/RGBA, row
+    filters None/Sub/Up), RIFF/WAVE PCM16 files (mono/stereo) and
+    uncompressed AVI videos (DIB frames, stride-padded widths), decoded
+    by the engine's pure python/numpy codecs (operators/codecs.py — no
+    PIL/ffmpeg). The oracle reads GROUND-TRUTH columns stored at
+    generation: header fields (width/height/channels/sample_rate/
+    n_samples/n_frames) AND decode-dependent statistics — channel-0
+    pixel mean (images), frame-0 mean (video), the exact integer sum of
+    the every-4th channel-0 samples (audio) — so a wrong unfilter /
+    row-flip / sample decode hash-mismatches, not just a wrong header
+    parse."""
     _ensure_shipped(spark)
     from hlld_spark.operators.multimodal import (
         extract_image_features,
         parse_metadata,
         sample_audio_frames,
+        sample_video_frames,
         write_real_assets_fixture,
     )
 
     write_real_assets_fixture(_REAL_ASSETS_FIXTURE, 200)
     assets = spark.read.parquet(_REAL_ASSETS_FIXTURE).select("asset_id", "kind", "payload")
-    out = sample_audio_frames(extract_image_features(parse_metadata(assets)), every_n=4)
+    out = sample_video_frames(
+        sample_audio_frames(extract_image_features(parse_metadata(assets)), every_n=4), every_n=4
+    )
     return out.select(
         "asset_id",
         "kind",
@@ -592,7 +597,8 @@ def _q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.channels").alias("channels"),
         F.col("meta.sample_rate").alias("sample_rate"),
         F.col("meta.n_samples").alias("n_samples"),
-        F.col("features")[0].alias("chan0_mean"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.coalesce(F.col("features")[0], F.col("frame_features")[0]).alias("chan0_mean"),
         F.expr("aggregate(frame_samples, 0L, (a, x) -> a + CAST(x AS BIGINT))").alias("samp_sum"),
     ).orderBy("asset_id")
 
@@ -1033,7 +1039,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_real_codecs": f"""
             SELECT asset_id, kind, width, height, channels,
-                   sample_rate, n_samples, chan0_mean, samp_sum
+                   sample_rate, n_samples, n_frames, chan0_mean, samp_sum
             FROM read_parquet('{_REAL_ASSETS_FIXTURE}')
             ORDER BY asset_id
         """,

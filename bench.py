@@ -39,7 +39,7 @@ def main():
     extras: dict[str, float] = {}
 
     repeats = int(os.environ.get("BENCH_REPEATS", "3"))
-    max_repeats = int(os.environ.get("BENCH_MAX_REPEATS", str(repeats + 3)))
+    max_repeats = int(os.environ.get("BENCH_MAX_REPEATS", str(repeats + 5)))
 
     def loadavg() -> list[float]:
         try:

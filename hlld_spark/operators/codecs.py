@@ -257,6 +257,125 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     return (x.reshape(n, ch) if ch > 1 else x), sr
 
 
+# ---------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed 24-bit DIB frames)
+# ---------------------------------------------------------------------------
+
+
+class AviFormatError(ValueError):
+    """Malformed or unsupported AVI payload."""
+
+
+def _avi_subchunks(data: bytes, pos: int, end: int):
+    """Iterate (fourcc, body_start, body_len) inside [pos, end)."""
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        yield cid, pos + 8, clen
+        pos += 8 + clen + (clen & 1)  # word-aligned
+
+
+def _walk_avi(data: bytes):
+    """(width, height, n_frames, usec_per_frame, movi_span). Validates
+    24-bit BI_RGB ('DIB ' raw frames) — the only compression this pure
+    decoder supports."""
+    if data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise AviFormatError("not a RIFF/AVI file")
+    w = h = nf = usec = None
+    bitcount = compression = None
+    movi = None
+    for cid, off, clen in _avi_subchunks(data, 12, len(data)):
+        if cid != b"LIST":
+            continue
+        ltype = data[off : off + 4]
+        if ltype == b"hdrl":
+            for scid, soff, sclen in _avi_subchunks(data, off + 4, off + clen):
+                if scid == b"avih":
+                    usec, _mbps, _pad, _flags, nf, _init, _nstr, _buf, w, h = struct.unpack(
+                        "<10I", data[soff : soff + 40]
+                    )
+                elif scid == b"LIST" and data[soff : soff + 4] == b"strl":
+                    for tcid, toff, tclen in _avi_subchunks(data, soff + 4, soff + sclen):
+                        if tcid == b"strf":
+                            (_sz, _bw, _bh, _planes, bitcount, compression) = struct.unpack(
+                                "<IiiHHI", data[toff : toff + 20]
+                            )
+        elif ltype == b"movi":
+            movi = (off + 4, off + clen)
+    if w is None or movi is None:
+        raise AviFormatError("missing hdrl/avih or movi list")
+    if compression not in (0, None) or (bitcount not in (24, None)):
+        raise AviFormatError(
+            f"only uncompressed 24-bit DIB frames supported (biBitCount={bitcount}, "
+            f"biCompression={compression})"
+        )
+    return w, h, nf, usec, movi
+
+
+def parse_avi_header(data: bytes) -> tuple[int, int, int, float]:
+    """(width, height, n_frames, fps) from the headers alone."""
+    w, h, nf, usec, _movi = _walk_avi(data)
+    return w, h, nf, (1e6 / usec if usec else 0.0)
+
+
+def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
+    """Decode to ((n_frames, H, W, 3) uint8 RGB, fps). Frames are stored
+    per the DIB convention — BGR byte order, bottom-up rows, stride
+    padded to 4 bytes — and converted back to top-down RGB here."""
+    w, h, nf, usec, (mpos, mend) = _walk_avi(data)
+    stride = (w * 3 + 3) & ~3
+    frames = []
+    for cid, off, clen in _avi_subchunks(data, mpos, mend):
+        if cid in (b"00db", b"00dc"):
+            if clen != stride * h:
+                raise AviFormatError(f"frame chunk size {clen} != stride*height {stride * h}")
+            rows = np.frombuffer(data[off : off + clen], dtype=np.uint8).reshape(h, stride)
+            bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # un-pad, un-flip
+            frames.append(bgr[:, :, ::-1])  # BGR -> RGB
+    if nf is not None and nf != len(frames):
+        raise AviFormatError(f"avih says {nf} frames, movi has {len(frames)}")
+    out = np.stack(frames) if frames else np.zeros((0, h, w, 3), dtype=np.uint8)
+    return out, (1e6 / usec if usec else 0.0)
+
+
+def encode_avi(frames: np.ndarray, fps: float = 10.0) -> bytes:
+    """Encode an (n, H, W, 3) uint8 RGB array as an uncompressed AVI
+    ('DIB ' vids stream, BI_RGB 24-bit, bottom-up BGR rows padded to 4
+    bytes — readable by any standard AVI consumer)."""
+    x = np.ascontiguousarray(frames, dtype=np.uint8)
+    if x.ndim != 4 or x.shape[3] != 3:
+        raise AviFormatError("frames must be (n, H, W, 3) uint8")
+    n, h, w, _ = x.shape
+    stride = (w * 3 + 3) & ~3
+    usec = int(round(1e6 / fps)) if fps else 0
+    frame_sz = stride * h
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<14I", usec, frame_sz * int(fps or 1), 0, 0x10, n, 0, 1, frame_sz, w, h, 0, 0, 0, 0
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, int(fps or 1), 0, n, frame_sz, 0, 0)
+        + struct.pack("<4H", 0, 0, w, h)
+    )
+    strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_sz, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi_body = b""
+    pad = np.zeros((h, stride - w * 3), dtype=np.uint8)
+    for f in x:
+        bgr = f[:, :, ::-1][::-1]  # RGB->BGR, top-down -> bottom-up
+        rows = np.concatenate([bgr.reshape(h, w * 3), pad], axis=1)
+        movi_body += chunk(b"00db", rows.tobytes())
+    movi = lst(b"movi", movi_body)
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
 def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
     """Encode int16 samples — shape (n,) or (n, channels) — as PCM16
     RIFF/WAVE."""

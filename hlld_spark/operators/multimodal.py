@@ -40,10 +40,13 @@ from pyspark.sql.types import (
 from ..sources.webpages import splitmix64
 from .codecs import (
     PNG_MAGIC,
+    AviFormatError,
     PngFormatError,
     WavFormatError,
+    decode_avi,
     decode_png,
     decode_wav,
+    parse_avi_header,
     parse_png_header,
     parse_wav_header,
 )
@@ -158,37 +161,39 @@ def write_assets_fixture(path: str, n: int, seed: int = 42) -> str:
 
 
 def _gen_real_asset(i: int, seed: int) -> dict:
-    """One deterministic REAL-format asset row (r5): even ids → PNG
-    (channels cycling 1/3/4, row filter cycling None/Sub/Up so the
-    decoder's unfilter paths are all exercised), odd ids → WAV (PCM16,
-    mono/stereo alternating). Ground-truth columns cover both the
-    HEADER fields and a DECODE-dependent statistic (first-channel pixel
-    mean / sample mean), so the oracle catches a wrong decode, not just
-    a wrong header parse."""
-    from .codecs import encode_png, encode_wav
+    """One deterministic REAL-format asset row (r5), cycling through the
+    three modalities: id%3==0 → PNG (channels cycling 1/3/4, row filter
+    cycling None/Sub/Up so the decoder's unfilter paths are all
+    exercised), id%3==1 → WAV (PCM16, mono/stereo alternating),
+    id%3==2 → uncompressed AVI (DIB frames, incl. widths that need the
+    4-byte stride padding). Ground-truth columns cover both the HEADER
+    fields and a DECODE-dependent statistic (first-channel pixel mean /
+    frame-0 mean / exact decimated-sample sum), so the oracle catches a
+    wrong decode, not just a wrong header parse."""
+    from .codecs import encode_avi, encode_png, encode_wav
 
     r = int(splitmix64(np.array([np.uint64(i * 2 + 1) ^ np.uint64(seed)], dtype=np.uint64))[0])
     row = {
         "asset_id": int(i), "kind": None, "payload": None,
         "width": None, "height": None, "channels": None,
-        "sample_rate": None, "n_samples": None,
+        "sample_rate": None, "n_samples": None, "n_frames": None,
         "chan0_mean": None, "samp_sum": None,
     }
-    if i % 2 == 0:
+    if i % 3 == 0:
         w, h = 4 + r % 29, 4 + (r >> 8) % 29
-        c = (1, 3, 4)[(i // 2) % 3]
+        c = (1, 3, 4)[(i // 3) % 3]
         body = np.frombuffer(_det_bytes(i, w * h * c, seed), dtype=np.uint8).reshape(h, w, c)
         # truth mean computed with the SAME float64-mean + python-round
         # pipeline extract_image_features uses — bit-identical by path
         row.update(
             kind="image", width=w, height=h, channels=c,
-            payload=encode_png(body, filter_type=(i // 2) % 3),
+            payload=encode_png(body, filter_type=(i // 3) % 3),
             chan0_mean=round(float(body.astype(np.float64)[:, :, 0].mean()), 6),
         )
-    else:
+    elif i % 3 == 1:
         sr = 8000 * (1 + (r >> 16) % 3)
         ns = 32 + (r >> 24) % 200
-        ch = 1 + (i // 2) % 2
+        ch = 1 + (i // 3) % 2
         samples = np.frombuffer(_det_bytes(i, ns * ch * 2, seed), dtype="<i2").reshape(ns, ch)
         # truth = exact integer sum of the every-4th channel-0 samples
         # (what sample_audio_frames emits) — no float rounding in play
@@ -196,6 +201,19 @@ def _gen_real_asset(i: int, seed: int) -> dict:
             kind="audio", sample_rate=sr, n_samples=ns,
             payload=encode_wav(samples, sr),
             samp_sum=int(samples[::4, 0].astype(np.int64).sum()),
+        )
+    else:
+        w, h = 3 + r % 14, 3 + (r >> 8) % 14  # odd widths exercise stride pad
+        nf = 2 + (r >> 16) % 9
+        frames = np.frombuffer(_det_bytes(i, nf * h * w * 3, seed), dtype=np.uint8).reshape(
+            nf, h, w, 3
+        )
+        # truth = frame-0 mean over all pixel bytes, the same float64
+        # mean + python round sample_video_frames applies
+        row.update(
+            kind="video", width=w, height=h, channels=3, n_frames=nf,
+            payload=encode_avi(frames, fps=10.0),
+            chan0_mean=round(float(frames[0].astype(np.float64).mean()), 6),
         )
     return row
 
@@ -220,6 +238,7 @@ def write_real_assets_fixture(path: str, n: int, seed: int = 42) -> str:
         "channels": pa.array([r["channels"] for r in rows], pa.int32()),
         "sample_rate": pa.array([r["sample_rate"] for r in rows], pa.int32()),
         "n_samples": pa.array([r["n_samples"] for r in rows], pa.int32()),
+        "n_frames": pa.array([r["n_frames"] for r in rows], pa.int32()),
         "chan0_mean": pa.array([r["chan0_mean"] for r in rows], pa.float64()),
         "samp_sum": pa.array([r["samp_sum"] for r in rows], pa.int64()),
     }
@@ -266,6 +285,12 @@ def parse_metadata(df: DataFrame, payload_col: str = "payload", out: str = "meta
                     sr, ns, _ch = parse_wav_header(b)
                     rows.append(("audio", None, None, None, sr, ns, None, len(b)))
                 except WavFormatError:
+                    rows.append(("unknown", None, None, None, None, None, None, len(b)))
+            elif b[:4] == _WAV_MAGIC and b[8:12] == b"AVI ":
+                try:
+                    w, h, nf, _fps = parse_avi_header(b)
+                    rows.append(("video", w, h, 3, None, None, nf, len(b)))
+                except AviFormatError:
                     rows.append(("unknown", None, None, None, None, None, None, len(b)))
             else:
                 rows.append(("unknown", None, None, None, None, None, None, len(b)))
@@ -368,11 +393,12 @@ def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "pa
 def sample_video_frames(
     df: DataFrame, every_n: int = 4, payload_col: str = "payload", out: str = "frame_features"
 ) -> DataFrame:
-    """Every-Nth-frame sampling of FVID payloads → per-sampled-frame
-    mean-pixel features (list of doubles). The batch contract — decode in
-    the worker, fixed small features out, never raw frames over the
-    wire — is the production shape; real video codecs are stubbed like
-    _decode_image."""
+    """Every-Nth-frame sampling → per-sampled-frame mean-pixel features
+    (list of doubles). The batch contract — decode in the worker, fixed
+    small features out, never raw frames over the wire — is the
+    production shape. Decodes FVID fixture payloads and REAL
+    uncompressed AVI (r5, ``codecs.decode_avi``); entropy-coded video
+    codecs (H.26x/VP9…) remain stubbed."""
     fields = list(df.schema.fields) + [StructField(out, ArrayType(DoubleType()), True)]
     schema = StructType(fields)
 
@@ -381,15 +407,23 @@ def sample_video_frames(
             vals = []
             for b in pdf[payload_col]:
                 b = bytes(b)
-                if b[:4] != _VID_MAGIC:
+                if b[:4] == _VID_MAGIC:
+                    w, h, c, nf = struct.unpack("<HHBH", b[4:11])
+                    frame_sz = w * h * c
+                    body = np.frombuffer(b[11 : 11 + frame_sz * nf], dtype=np.uint8)
+                    if len(body) < frame_sz * nf:
+                        body = np.pad(body, (0, frame_sz * nf - len(body)))
+                    frames = body.reshape(nf, frame_sz)
+                elif b[:4] == _WAV_MAGIC and b[8:12] == b"AVI ":
+                    try:
+                        fr, _fps = decode_avi(b)
+                    except AviFormatError:
+                        vals.append(None)
+                        continue
+                    frames = fr.reshape(fr.shape[0], -1)
+                else:
                     vals.append(None)
                     continue
-                w, h, c, nf = struct.unpack("<HHBH", b[4:11])
-                frame_sz = w * h * c
-                body = np.frombuffer(b[11 : 11 + frame_sz * nf], dtype=np.uint8)
-                if len(body) < frame_sz * nf:
-                    body = np.pad(body, (0, frame_sz * nf - len(body)))
-                frames = body.reshape(nf, frame_sz)
                 sampled = frames[::every_n]
                 vals.append([round(float(x), 6) for x in sampled.mean(axis=1)])
             pdf = pdf.copy()

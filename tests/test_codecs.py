@@ -157,6 +157,33 @@ def test_wav_extra_chunks_and_8bit():
         decode_wav(b"RIFF" + struct.pack("<I", len(inner)) + inner)
 
 
+def test_avi_round_trip_and_header():
+    from hlld_spark.operators.codecs import (
+        AviFormatError,
+        decode_avi,
+        encode_avi,
+        parse_avi_header,
+    )
+
+    rng = np.random.RandomState(2)
+    # widths 6 and 9 force the DIB 4-byte stride padding path
+    for shape in [(1, 4, 4, 3), (5, 7, 6, 3), (3, 8, 9, 3)]:
+        f = rng.randint(0, 256, size=shape).astype(np.uint8)
+        b = encode_avi(f, fps=12.0)
+        d, fps = decode_avi(b)
+        assert np.array_equal(d, f), shape
+        w, h, n, fps2 = parse_avi_header(b)
+        assert (n, h, w) == shape[:3] and abs(fps2 - 12.0) < 0.01
+    with pytest.raises(AviFormatError):
+        decode_avi(b"RIFFxxxxJUNK")
+    # compressed streams rejected, not mis-decoded: patch biCompression
+    good = bytearray(encode_avi(np.zeros((1, 4, 4, 3), np.uint8)))
+    strf_at = bytes(good).index(b"strf") + 8
+    struct.pack_into("<I", good, strf_at + 16, 0x44495658)  # 'XVID'
+    with pytest.raises(AviFormatError, match="uncompressed"):
+        decode_avi(bytes(good))
+
+
 @pytest.mark.spark
 def test_spark_operators_on_real_formats(spark):
     """parse_metadata / extract_image_features / resize_images /
@@ -199,3 +226,22 @@ def test_spark_operators_on_real_formats(spark):
     smp = {r["asset_id"]: r["frame_samples"] for r in sample_audio_frames(df, every_n=4).collect()}
     assert smp[0] is None
     assert smp[1] == [int(x) for x in aud[::4]]
+
+
+@pytest.mark.spark
+def test_spark_video_sampling_on_real_avi(spark):
+    from hlld_spark.operators.codecs import encode_avi
+    from hlld_spark.operators.multimodal import parse_metadata, sample_video_frames
+
+    rng = np.random.RandomState(11)
+    vid = rng.randint(0, 256, size=(9, 6, 5, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_avi(vid, fps=8.0)))], "asset_id long, payload binary"
+    )
+    md = parse_metadata(df).collect()[0]["meta"]
+    assert (md["kind"], md["width"], md["height"], md["channels"], md["n_frames"]) == (
+        "video", 5, 6, 3, 9,
+    )
+    feats = sample_video_frames(df, every_n=4).collect()[0]["frame_features"]
+    expect = [round(float(f.astype(np.float64).mean()), 6) for f in vid[::4]]
+    assert feats == expect
