@@ -184,6 +184,42 @@ def test_avi_round_trip_and_header():
         decode_avi(bytes(good))
 
 
+def test_codec_round_trip_property():
+    """Hypothesis fuzz: encode→decode is the identity for every codec
+    across random shapes, channel counts, filter types and sample
+    rates."""
+    from hypothesis import given, settings, strategies as st
+
+    from hlld_spark.operators.codecs import decode_avi, encode_avi
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.integers(1, 40), st.integers(1, 40), st.sampled_from([1, 2, 3, 4]),
+        st.sampled_from([0, 1, 2]), st.integers(0, 2**32 - 1),
+    )
+    def png_prop(h, w, c, ftype, seed):
+        a = np.random.RandomState(seed % 2**31).randint(0, 256, size=(h, w, c)).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(a, filter_type=ftype)), a)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.integers(1, 500), st.sampled_from([1, 2, 3]), st.integers(0, 2**31 - 1))
+    def wav_prop(n, ch, seed):
+        s = np.random.RandomState(seed).randint(-32768, 32767, size=(n, ch)).astype(np.int16)
+        d, sr = decode_wav(encode_wav(s, 44100))
+        assert sr == 44100 and np.array_equal(d.reshape(s.shape), s)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.integers(1, 6), st.integers(1, 16), st.integers(1, 16), st.integers(0, 2**31 - 1))
+    def avi_prop(n, h, w, seed):
+        f = np.random.RandomState(seed).randint(0, 256, size=(n, h, w, 3)).astype(np.uint8)
+        d, _ = decode_avi(encode_avi(f))
+        assert np.array_equal(d, f)
+
+    png_prop()
+    wav_prop()
+    avi_prop()
+
+
 @pytest.mark.spark
 def test_spark_operators_on_real_formats(spark):
     """parse_metadata / extract_image_features / resize_images /
