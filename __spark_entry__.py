@@ -559,7 +559,7 @@ def _q_clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
-_REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v2_200.parquet"
+_REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v3_200.parquet"
 
 
 def _q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -579,6 +579,7 @@ def _q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from hlld_spark.operators.multimodal import (
         extract_image_features,
         parse_metadata,
+        resize_images,
         sample_audio_frames,
         sample_video_frames,
         write_real_assets_fixture,
@@ -588,6 +589,11 @@ def _q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assets = spark.read.parquet(_REAL_ASSETS_FIXTURE).select("asset_id", "kind", "payload")
     out = sample_video_frames(
         sample_audio_frames(extract_image_features(parse_metadata(assets)), every_n=4), every_n=4
+    )
+    # resize leg: 4x4 nearest-neighbor, PNG re-encoded in-engine, then
+    # DECODED AGAIN by extract_image_features — pins the encoder too
+    out = extract_image_features(
+        resize_images(out, 4, 4), payload_col="resized", out="rfeatures"
     )
     return out.select(
         "asset_id",
@@ -600,6 +606,7 @@ def _q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("meta.n_frames").alias("n_frames"),
         F.coalesce(F.col("features")[0], F.col("frame_features")[0]).alias("chan0_mean"),
         F.expr("aggregate(frame_samples, 0L, (a, x) -> a + CAST(x AS BIGINT))").alias("samp_sum"),
+        F.col("rfeatures")[0].alias("resized_mean"),
     ).orderBy("asset_id")
 
 
@@ -1039,7 +1046,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_real_codecs": f"""
             SELECT asset_id, kind, width, height, channels,
-                   sample_rate, n_samples, n_frames, chan0_mean, samp_sum
+                   sample_rate, n_samples, n_frames, chan0_mean, samp_sum,
+                   resized_mean
             FROM read_parquet('{_REAL_ASSETS_FIXTURE}')
             ORDER BY asset_id
         """,

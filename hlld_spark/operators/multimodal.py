@@ -3,14 +3,16 @@
 Spark-side plumbing is REAL and tested: schema conventions, header
 parsing, Arrow-batched UDF signatures, partition-friendly batch shapes.
 
-Codecs (r5): **PNG and WAV decode for REAL** — pure python/numpy
-implementations from the public specs (``operators/codecs.py``; PNG is
-zlib + row filters, WAV is RIFF around PCM; neither needs PIL/ffmpeg).
-parse_metadata reads PNG IHDR / WAV fmt+data HEADERS without inflating
-pixel or sample data; extract_image_features / resize_images accept PNG
-payloads; sample_audio_frames accepts WAV. JPEG and video codecs remain
-honestly STUBBED behind `try: import PIL` (entropy-coded DCT /
-inter-frame codecs; the container has no image libraries).
+Codecs (r5): **PNG, WAV and uncompressed AVI decode for REAL** — pure
+python/numpy implementations from the public specs
+(``operators/codecs.py``; PNG is zlib + row filters, WAV/AVI are RIFF
+containers; none needs PIL/ffmpeg). parse_metadata reads PNG IHDR /
+WAV fmt+data / AVI avih HEADERS without inflating pixel or sample
+data; extract_image_features / resize_images accept PNG payloads;
+sample_audio_frames accepts WAV; sample_video_frames accepts AVI.
+JPEG and entropy-coded video codecs remain honestly STUBBED behind
+`try: import PIL` (DCT/huffman, inter-frame prediction; the container
+has no image libraries).
 
 Binary format for synthetic fixtures (self-describing, parsed for real):
     b"FIMG" | u16 width | u16 height | u8 channels | payload bytes
@@ -177,18 +179,24 @@ def _gen_real_asset(i: int, seed: int) -> dict:
         "asset_id": int(i), "kind": None, "payload": None,
         "width": None, "height": None, "channels": None,
         "sample_rate": None, "n_samples": None, "n_frames": None,
-        "chan0_mean": None, "samp_sum": None,
+        "chan0_mean": None, "samp_sum": None, "resized_mean": None,
     }
     if i % 3 == 0:
         w, h = 4 + r % 29, 4 + (r >> 8) % 29
         c = (1, 3, 4)[(i // 3) % 3]
         body = np.frombuffer(_det_bytes(i, w * h * c, seed), dtype=np.uint8).reshape(h, w, c)
-        # truth mean computed with the SAME float64-mean + python-round
-        # pipeline extract_image_features uses — bit-identical by path
+        # truth means computed with the SAME float64-mean + python-round
+        # pipeline extract_image_features uses — bit-identical by path.
+        # resized_mean additionally pins the resize(4x4)→encode_png→
+        # decode_png chain (nearest-neighbor index math mirrored here).
+        ys = (np.arange(4) * h // 4).clip(0, h - 1)
+        xs = (np.arange(4) * w // 4).clip(0, w - 1)
+        rs = body[ys][:, xs]
         row.update(
             kind="image", width=w, height=h, channels=c,
             payload=encode_png(body, filter_type=(i // 3) % 3),
             chan0_mean=round(float(body.astype(np.float64)[:, :, 0].mean()), 6),
+            resized_mean=round(float(rs.astype(np.float64)[:, :, 0].mean()), 6),
         )
     elif i % 3 == 1:
         sr = 8000 * (1 + (r >> 16) % 3)
@@ -241,6 +249,7 @@ def write_real_assets_fixture(path: str, n: int, seed: int = 42) -> str:
         "n_frames": pa.array([r["n_frames"] for r in rows], pa.int32()),
         "chan0_mean": pa.array([r["chan0_mean"] for r in rows], pa.float64()),
         "samp_sum": pa.array([r["samp_sum"] for r in rows], pa.int64()),
+        "resized_mean": pa.array([r["resized_mean"] for r in rows], pa.float64()),
     }
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
@@ -343,7 +352,7 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload", out: str
         for pdf in batches:
             vals = []
             for b in pdf[payload_col]:
-                b = bytes(b)
+                b = bytes(b) if b is not None else b""
                 if not _is_image_payload(b):
                     vals.append(None)
                     continue
@@ -371,7 +380,7 @@ def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "pa
         for pdf in batches:
             vals = []
             for b in pdf[payload_col]:
-                b = bytes(b)
+                b = bytes(b) if b is not None else b""
                 if not _is_image_payload(b):
                     vals.append(None)
                     continue
@@ -406,7 +415,7 @@ def sample_video_frames(
         for pdf in batches:
             vals = []
             for b in pdf[payload_col]:
-                b = bytes(b)
+                b = bytes(b) if b is not None else b""
                 if b[:4] == _VID_MAGIC:
                     w, h, c, nf = struct.unpack("<HHBH", b[4:11])
                     frame_sz = w * h * c
@@ -444,7 +453,7 @@ def sample_audio_frames(df: DataFrame, every_n: int = 4, payload_col: str = "pay
         for pdf in batches:
             vals = []
             for b in pdf[payload_col]:
-                b = bytes(b)
+                b = bytes(b) if b is not None else b""
                 if b[:4] == _AUD_MAGIC:
                     sr, ns = struct.unpack("<II", b[4:12])
                     samples = np.frombuffer(b[12 : 12 + ns * 2], dtype="<i2")

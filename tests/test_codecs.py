@@ -265,6 +265,29 @@ def test_spark_operators_on_real_formats(spark):
 
 
 @pytest.mark.spark
+def test_null_payloads_yield_nulls(spark):
+    """r5: a NULL payload cell flows through every multimodal operator
+    as NULL output instead of crashing the worker."""
+    from hlld_spark.operators.multimodal import (
+        extract_image_features,
+        resize_images,
+        sample_audio_frames,
+        sample_video_frames,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (1, bytearray(encode_png(np.zeros((4, 4, 3), np.uint8))))],
+        "asset_id long, payload binary",
+    )
+    feats = {r["asset_id"]: r["features"] for r in extract_image_features(df).collect()}
+    assert feats[0] is None and feats[1] is not None
+    rs = {r["asset_id"]: r["resized"] for r in resize_images(df, 2, 2).collect()}
+    assert rs[0] is None and rs[1] is not None
+    assert sample_audio_frames(df).collect()[0]["frame_samples"] is None
+    assert sample_video_frames(df).collect()[0]["frame_features"] is None
+
+
+@pytest.mark.spark
 def test_spark_video_sampling_on_real_avi(spark):
     from hlld_spark.operators.codecs import encode_avi
     from hlld_spark.operators.multimodal import parse_metadata, sample_video_frames
