@@ -7,11 +7,10 @@ This module implements both from the public specifications so the
 multimodal operators decode REAL bytes end-to-end:
 
 * :func:`decode_png` — 8-bit greyscale / grey+alpha / RGB / RGBA /
-  palette, non-interlaced (the overwhelmingly common web case), all
-  five row filters (None/Sub/Up/Average/Paeth), CRC-validated.
-  Sub and Up unfilter vectorized (Sub is a per-byte-lane cumsum mod
-  256); Average/Paeth take the sequential per-byte path their data
-  dependency requires.
+  palette, non-interlaced AND Adam7-interlaced, all five row filters
+  (None/Sub/Up/Average/Paeth), CRC-validated. Sub and Up unfilter
+  vectorized (Sub is a per-byte-lane cumsum mod 256); Average/Paeth
+  take the sequential per-byte path their data dependency requires.
 * :func:`encode_png` — filter-0 rows + one zlib stream + CRCs; used for
   deterministic test/bench fixtures (and valid input for any PNG
   reader).
@@ -100,39 +99,11 @@ def _average_row(row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
     return out
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode a PNG to an (H, W, C) uint8 array (C per color type;
-    palette images expand to RGB). Supports bit depth 8, non-interlaced
-    — raises :class:`PngFormatError` otherwise."""
-    if data[:8] != PNG_MAGIC:
-        raise PngFormatError("not a PNG")
-    width = height = None
-    color_type = depth = interlace = None
-    palette = None
-    idat = bytearray()
-    for ctype, body in _chunks(data):
-        if ctype == b"IHDR":
-            width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
-                ">IIBBBBB", body
-            )
-        elif ctype == b"PLTE":
-            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
-        elif ctype == b"IDAT":
-            idat += body
-    if width is None:
-        raise PngFormatError("missing IHDR")
-    if depth != 8:
-        raise PngFormatError(f"unsupported bit depth {depth} (only 8)")
-    if interlace != 0:
-        raise PngFormatError("interlaced PNG unsupported")
-    if color_type not in _CHANNELS_BY_COLOR_TYPE:
-        raise PngFormatError(f"unknown color type {color_type}")
-    nch = _CHANNELS_BY_COLOR_TYPE[color_type]
-    stride = width * nch
-    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
-    if len(raw) != height * (stride + 1):
-        raise PngFormatError("decompressed size mismatch")
-    raw = raw.reshape(height, stride + 1)
+def _unfilter_image(raw: np.ndarray, nch: int) -> np.ndarray:
+    """Reconstruct one filtered (sub-)image: raw is (rows, stride+1)
+    uint8 with the filter byte in column 0. Returns (rows, stride)."""
+    height, stride1 = raw.shape
+    stride = stride1 - 1
     filters = raw[:, 0]
     rows = raw[:, 1:]
     out = np.empty((height, stride), dtype=np.uint8)
@@ -155,7 +126,68 @@ def decode_png(data: bytes) -> np.ndarray:
             raise PngFormatError(f"unknown filter {f} in row {y}")
         out[y] = rec
         prev = rec
-    px = out.reshape(height, width, nch)
+    return out
+
+
+# Adam7 interlace passes: (x_start, y_start, x_step, y_step)
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG to an (H, W, C) uint8 array (C per color type;
+    palette images expand to RGB). Supports bit depth 8, non-interlaced
+    AND Adam7-interlaced — raises :class:`PngFormatError` otherwise."""
+    if data[:8] != PNG_MAGIC:
+        raise PngFormatError("not a PNG")
+    width = height = None
+    color_type = depth = interlace = None
+    palette = None
+    idat = bytearray()
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            width, height, depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body
+            )
+        elif ctype == b"PLTE":
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat += body
+    if width is None:
+        raise PngFormatError("missing IHDR")
+    if depth != 8:
+        raise PngFormatError(f"unsupported bit depth {depth} (only 8)")
+    if interlace not in (0, 1):
+        raise PngFormatError(f"unknown interlace method {interlace}")
+    if color_type not in _CHANNELS_BY_COLOR_TYPE:
+        raise PngFormatError(f"unknown color type {color_type}")
+    nch = _CHANNELS_BY_COLOR_TYPE[color_type]
+    stride = width * nch
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    if interlace == 0:
+        if len(raw) != height * (stride + 1):
+            raise PngFormatError("decompressed size mismatch")
+        out = _unfilter_image(raw.reshape(height, stride + 1), nch)
+        px = out.reshape(height, width, nch)
+    else:
+        # Adam7: seven independently-filtered sub-images, scattered back
+        # into the full frame by each pass's (start, step) lattice
+        px = np.empty((height, width, nch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx if width > x0 else 0
+            ph = (height - y0 + dy - 1) // dy if height > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            sub_stride = pw * nch
+            need = ph * (sub_stride + 1)
+            if pos + need > len(raw):
+                raise PngFormatError("decompressed size mismatch (interlaced)")
+            sub = _unfilter_image(raw[pos : pos + need].reshape(ph, sub_stride + 1), nch)
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, nch)
+            pos += need
+        if pos != len(raw):
+            raise PngFormatError("decompressed size mismatch (interlaced)")
     if color_type == 3:
         if palette is None:
             raise PngFormatError("palette image without PLTE")

@@ -116,11 +116,45 @@ def test_png_rejections():
     deep = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + _chunk(b"IEND", b"")
     with pytest.raises(PngFormatError, match="bit depth"):
         decode_png(deep)
-    # interlaced rejected
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    # unknown interlace method rejected (Adam7 itself is SUPPORTED)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 7)
     inter = PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + _chunk(b"IEND", b"")
-    with pytest.raises(PngFormatError, match="interlaced"):
+    with pytest.raises(PngFormatError, match="interlace"):
         decode_png(inter)
+
+
+def test_png_adam7_interlaced_decode():
+    """Adam7 (r5): an interlaced stream hand-built by scattering a known
+    image into the 7 passes (each its own filtered sub-image; pass 2
+    uses Sub, pass 4 uses Up for filter coverage) decodes back to the
+    original — on sizes smaller and larger than one 8x8 tile, and on a
+    width where some passes are empty."""
+    adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    rng = np.random.RandomState(13)
+    for (h, w, c), ctype in [((3, 3, 3), 2), ((16, 20, 3), 2), ((9, 2, 1), 0), ((8, 8, 4), 6)]:
+        img = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+        raw = b""
+        for p, (x0, y0, dx, dy) in enumerate(adam7):
+            sub = img[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            flat = sub.reshape(sub.shape[0], -1)
+            if p == 1:  # Sub-filter this pass
+                filt = flat.copy()
+                filt[:, c:] = flat[:, c:] - flat[:, :-c]
+                raw += b"".join(b"\x01" + r.tobytes() for r in filt)
+            elif p == 3:  # Up-filter this pass
+                filt = flat.copy()
+                filt[1:] = flat[1:] - flat[:-1]
+                raw += b"".join(b"\x02" + r.tobytes() for r in filt)
+            else:
+                raw += b"".join(b"\x00" + r.tobytes() for r in flat)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 1)
+        png = (
+            PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(raw)) + _chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(png), img), (h, w, c)
 
 
 def test_wav_round_trip_mono_stereo_and_header():
