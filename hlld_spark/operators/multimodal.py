@@ -442,6 +442,57 @@ def sample_video_frames(
     return df.mapInPandas(smp, schema=schema)
 
 
+def _decode_audio(b: bytes) -> tuple[np.ndarray, int] | None:
+    """(channel-0 int16 samples, sample_rate) for FAUD fixture or real
+    WAV payloads; None for anything else."""
+    if b[:4] == _AUD_MAGIC:
+        sr, ns = struct.unpack("<II", b[4:12])
+        return np.frombuffer(b[12 : 12 + ns * 2], dtype="<i2"), sr
+    if b[:4] == _WAV_MAGIC and b[8:12] == b"WAVE":
+        try:
+            samples, sr = decode_wav(b)
+        except WavFormatError:
+            return None
+        return (samples[:, 0] if samples.ndim == 2 else samples), sr
+    return None
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload", out: str = "audio_features") -> DataFrame:
+    """Per-clip audio features over channel 0 — [rms, zero_crossing_rate,
+    peak, duration_sec] (4 doubles) — the audio counterpart of
+    ``extract_image_features`` (r5): decode in the worker (real WAV or
+    the FAUD fixture format), fixed-size feature vector out, never raw
+    samples over the wire."""
+    fields = list(df.schema.fields) + [StructField(out, ArrayType(DoubleType()), True)]
+    schema = StructType(fields)
+
+    def feats(batches):
+        for pdf in batches:
+            vals = []
+            for b in pdf[payload_col]:
+                b = bytes(b) if b is not None else b""
+                dec = _decode_audio(b)
+                if dec is None or len(dec[0]) == 0:
+                    vals.append(None)
+                    continue
+                x, sr = dec
+                xf = x.astype(np.float64)
+                zc = float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1]))) if len(xf) > 1 else 0.0
+                vals.append(
+                    [
+                        round(float(np.sqrt(np.mean(xf * xf))), 6),
+                        round(zc, 6),
+                        round(float(np.abs(xf).max()), 6),
+                        round(len(xf) / sr, 6) if sr else 0.0,
+                    ]
+                )
+            pdf = pdf.copy()
+            pdf[out] = vals
+            yield pdf
+
+    return df.mapInPandas(feats, schema=schema)
+
+
 def sample_audio_frames(df: DataFrame, every_n: int = 4, payload_col: str = "payload", out: str = "frame_samples") -> DataFrame:
     """Every-Nth-sample decimation (int16 samples) — FAUD fixture
     payloads and REAL RIFF/WAVE PCM (r5, ``codecs.decode_wav``;
@@ -453,21 +504,11 @@ def sample_audio_frames(df: DataFrame, every_n: int = 4, payload_col: str = "pay
         for pdf in batches:
             vals = []
             for b in pdf[payload_col]:
-                b = bytes(b) if b is not None else b""
-                if b[:4] == _AUD_MAGIC:
-                    sr, ns = struct.unpack("<II", b[4:12])
-                    samples = np.frombuffer(b[12 : 12 + ns * 2], dtype="<i2")
-                elif b[:4] == _WAV_MAGIC and b[8:12] == b"WAVE":
-                    try:
-                        samples, _sr = decode_wav(b)
-                    except WavFormatError:
-                        vals.append(None)
-                        continue
-                    if samples.ndim == 2:
-                        samples = samples[:, 0]
-                else:
+                dec = _decode_audio(bytes(b) if b is not None else b"")
+                if dec is None:
                     vals.append(None)
                     continue
+                samples, _sr = dec
                 vals.append([int(x) for x in samples[::every_n]])
             pdf = pdf.copy()
             pdf[out] = vals

@@ -299,6 +299,34 @@ def test_spark_operators_on_real_formats(spark):
 
 
 @pytest.mark.spark
+def test_extract_audio_features_real_wav(spark):
+    """r5: audio counterpart of image features — rms / zcr / peak /
+    duration over channel 0, real WAV and non-audio→None."""
+    from hlld_spark.operators.multimodal import extract_audio_features
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr
+    tone = (10000 * np.sin(2 * np.pi * 440 * t)).astype(np.int16)
+    df = spark.createDataFrame(
+        [
+            (0, bytearray(encode_wav(tone, sr))),
+            (1, bytearray(encode_png(np.zeros((4, 4, 3), np.uint8)))),
+            (2, None),
+        ],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r["audio_features"] for r in extract_audio_features(df).collect()}
+    assert got[1] is None and got[2] is None
+    rms, zcr, peak, dur = got[0]
+    xf = tone.astype(np.float64)
+    assert rms == round(float(np.sqrt(np.mean(xf * xf))), 6)
+    # 440 Hz tone crosses zero ~880 times/sec
+    assert abs(zcr - 880 / sr) < 0.01
+    assert peak == float(np.abs(xf).max())
+    assert dur == 1.0
+
+
+@pytest.mark.spark
 def test_null_payloads_yield_nulls(spark):
     """r5: a NULL payload cell flows through every multimodal operator
     as NULL output instead of crashing the worker."""
