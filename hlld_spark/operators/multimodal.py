@@ -399,6 +399,82 @@ def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "pa
     return df.mapInPandas(rz, schema=schema)
 
 
+def multimodal_features_parquet(
+    spark: SparkSession,
+    path: str,
+    id_col: str = "asset_id",
+    payload_col: str = "payload",
+    filter=None,
+    batch_rows: int = 1024,
+    files_per_task: int | None = None,
+) -> DataFrame:
+    """The 100-TB path for feature extraction (r5): the asset scan moves
+    INTO the Python workers (``sources.parquet_scan.map_parquet_batches``
+    — the same shape as ``build_sketches_parquet`` /
+    ``lang_id_profiles_parquet``): the driver plans file/row-group
+    splits, each task reads only (id, payload) with pyarrow and decodes
+    in place; only (id, kind, image features, audio features) leave the
+    worker — payloads NEVER cross the JVM↔Python boundary or any
+    exchange, which is the difference between shipping ~KB and ~MB per
+    row at image-corpus scale. ``batch_rows`` defaults low because rows
+    are payload-heavy."""
+    import pyarrow as pa
+
+    from ..sources.parquet_scan import map_parquet_batches
+
+    id_field = spark.read.parquet(path).schema[id_col]
+    schema = StructType(
+        [
+            id_field,
+            StructField("kind", StringType(), False),
+            StructField("features", ArrayType(DoubleType()), True),
+            StructField("audio_features", ArrayType(DoubleType()), True),
+        ]
+    )
+
+    def fn(batches):
+        for rb in batches:
+            pdf = rb.to_pandas()
+            kinds, imf, auf = [], [], []
+            for b in pdf[payload_col]:
+                b = bytes(b) if b is not None else b""
+                if _is_image_payload(b):
+                    px = _decode_image(b).astype(np.float64)
+                    kinds.append("image")
+                    imf.append(
+                        [round(float(x), 6) for x in np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])]
+                    )
+                    auf.append(None)
+                    continue
+                dec = _decode_audio(b)
+                if dec is not None and len(dec[0]):
+                    x, sr = dec
+                    xf = x.astype(np.float64)
+                    zc = float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1]))) if len(xf) > 1 else 0.0
+                    kinds.append("audio")
+                    imf.append(None)
+                    auf.append(
+                        [
+                            round(float(np.sqrt(np.mean(xf * xf))), 6),
+                            round(zc, 6),
+                            round(float(np.abs(xf).max()), 6),
+                            round(len(xf) / sr, 6) if sr else 0.0,
+                        ]
+                    )
+                    continue
+                kinds.append("other")
+                imf.append(None)
+                auf.append(None)
+            out = pd.DataFrame(
+                {id_col: pdf[id_col].values, "kind": kinds, "features": imf, "audio_features": auf}
+            )
+            yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+
+    return map_parquet_batches(
+        spark, path, fn, schema, [id_col, payload_col], filter, batch_rows, files_per_task
+    )
+
+
 def sample_video_frames(
     df: DataFrame, every_n: int = 4, payload_col: str = "payload", out: str = "frame_features"
 ) -> DataFrame:

@@ -327,6 +327,30 @@ def test_extract_audio_features_real_wav(spark):
 
 
 @pytest.mark.spark
+def test_multimodal_features_parquet_equivalence(spark, tmp_path):
+    """The worker-side-scan feature path returns exactly what the
+    DataFrame operators return on the same real-format table."""
+    from hlld_spark.operators.multimodal import (
+        extract_audio_features,
+        extract_image_features,
+        multimodal_features_parquet,
+        write_real_assets_fixture,
+    )
+
+    p = str(tmp_path / "real_assets.parquet")
+    write_real_assets_fixture(p, 60)
+    df = spark.read.parquet(p).select("asset_id", "payload")
+    base_img = {r["asset_id"]: r["features"] for r in extract_image_features(df).collect()}
+    base_aud = {r["asset_id"]: r["audio_features"] for r in extract_audio_features(df).collect()}
+    got = {r["asset_id"]: r for r in multimodal_features_parquet(spark, p).collect()}
+    assert len(got) == 60
+    for aid, r in got.items():
+        assert r["features"] == base_img[aid], aid
+        assert r["audio_features"] == base_aud[aid], aid
+        assert r["kind"] == ("image" if base_img[aid] else "audio" if base_aud[aid] else "other")
+
+
+@pytest.mark.spark
 def test_null_payloads_yield_nulls(spark):
     """r5: a NULL payload cell flows through every multimodal operator
     as NULL output instead of crashing the worker."""
