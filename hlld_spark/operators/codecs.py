@@ -1,9 +1,10 @@
 """Pure-python/numpy image & audio codecs — REAL formats, no PIL/ffmpeg.
 
-The container has no image/audio libraries, but two production formats
-need none: PNG is zlib (stdlib) + per-row prediction filters
-(RFC 2083 / W3C PNG spec), and WAV is a RIFF header around raw PCM.
-This module implements both from the public specifications so the
+The container has no image/audio libraries, but three production
+formats need none: PNG is zlib (stdlib) + per-row prediction filters
+(RFC 2083 / W3C PNG spec), WAV is a RIFF header around raw PCM, and
+uncompressed AVI is a RIFF container around raw DIB frames. This
+module implements all three from the public specifications so the
 multimodal operators decode REAL bytes end-to-end:
 
 * :func:`decode_png` — 8-bit greyscale / grey+alpha / RGB / RGBA /
@@ -17,11 +18,14 @@ multimodal operators decode REAL bytes end-to-end:
 * :func:`decode_wav` / :func:`encode_wav` — RIFF/WAVE PCM 16-bit and
   8-bit, mono or multi-channel, chunk-walking parser (tolerates extra
   chunks like LIST/fact).
+* :func:`decode_avi` / :func:`encode_avi` — RIFF 'AVI ' containers with
+  uncompressed 24-bit DIB 'vids' streams (BGR byte order, bottom-up
+  rows, 4-byte stride padding per the DIB convention).
 
-JPEG and video codecs remain honestly stubbed in ``multimodal.py``
-(entropy-coded DCT and inter-frame codecs are not reasonable to
-reimplement here); PNG + WAV upgrade the multimodal layer from
-fixture-only to real-format decode.
+JPEG and entropy-coded video codecs remain honestly stubbed in
+``multimodal.py`` (DCT/huffman and inter-frame prediction are not
+reasonable to reimplement here); PNG + WAV + AVI upgrade the
+multimodal layer from fixture-only to real-format decode.
 
 Reference parity note: the reference (hlld) has no multimodal layer —
 this is a brief-mandated training-data-pipeline companion.
@@ -137,7 +141,10 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG to an (H, W, C) uint8 array (C per color type;
     palette images expand to RGB). Supports bit depth 8, non-interlaced
-    AND Adam7-interlaced — raises :class:`PngFormatError` otherwise."""
+    AND Adam7-interlaced — raises :class:`PngFormatError` otherwise.
+    Ancillary chunks (tRNS transparency, gAMA, …) are ignored — palette
+    transparency would need a tRNS→alpha expansion this decoder does
+    not implement."""
     if data[:8] != PNG_MAGIC:
         raise PngFormatError("not a PNG")
     width = height = None
@@ -282,6 +289,8 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
     sr, bits, ch, n, off = _walk_wav(data)
     nbytes = n * ch * (bits // 8)
     body = data[off : off + nbytes]
+    if len(body) != nbytes:
+        raise WavFormatError("truncated data chunk")
     if bits == 16:
         x = np.frombuffer(body, dtype="<i2").astype(np.int16)
     else:  # 8-bit PCM is unsigned, midpoint 128
@@ -361,6 +370,8 @@ def decode_avi(data: bytes) -> tuple[np.ndarray, float]:
         if cid in (b"00db", b"00dc"):
             if clen != stride * h:
                 raise AviFormatError(f"frame chunk size {clen} != stride*height {stride * h}")
+            if off + clen > len(data):
+                raise AviFormatError("truncated frame chunk")
             rows = np.frombuffer(data[off : off + clen], dtype=np.uint8).reshape(h, stride)
             bgr = rows[:, : w * 3].reshape(h, w, 3)[::-1]  # un-pad, un-flip
             frames.append(bgr[:, :, ::-1])  # BGR -> RGB

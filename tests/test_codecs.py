@@ -168,6 +168,19 @@ def test_wav_round_trip_mono_stereo_and_header():
         assert (sr2, n, ch) == (16000, shape[0], shape[1] if len(shape) > 1 else 1)
 
 
+def test_truncated_payloads_raise_codec_errors():
+    """Truncated data/frame chunks surface as the codec's own exception
+    type, not a raw numpy buffer error."""
+    from hlld_spark.operators.codecs import AviFormatError, decode_avi, encode_avi
+
+    w = encode_wav(np.arange(100, dtype=np.int16), 8000)
+    with pytest.raises(WavFormatError, match="truncated"):
+        decode_wav(w[:-50])
+    a = encode_avi(np.zeros((2, 4, 4, 3), np.uint8))
+    with pytest.raises(AviFormatError, match="truncated"):
+        decode_avi(a[:-20])
+
+
 def test_wav_extra_chunks_and_8bit():
     # hand-build: LIST chunk before fmt, odd-length chunk padding, 8-bit PCM
     samples8 = bytes([0, 128, 255, 64])
