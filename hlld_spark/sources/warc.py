@@ -124,10 +124,13 @@ def _parse_warc_ts(v: str | None):
         return None
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
+def read_warc(
+    spark: SparkSession, path: str, record_types: tuple[str, ...] = ("response",)
+) -> DataFrame:
     """(url, warc_ts, html) from WARC file(s) at ``path`` (glob ok,
-    ``.warc`` or ``.warc.gz``). One task per archive file; response
-    records only; HTTP headers stripped from the payload."""
+    ``.warc`` or ``.warc.gz``). One task per archive file; only
+    ``record_types`` records survive (default HTTP responses, with the
+    HTTP envelope stripped from the payload)."""
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,7 +140,7 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 raw = _gunzip_members(bytes(content))
                 for rec in parse_warc_records(raw):
                     h = rec["headers"]
-                    if h.get("warc-type") != "response":
+                    if h.get("warc-type") not in record_types:
                         continue
                     url = h.get("warc-target-uri")
                     if not url:
@@ -156,6 +159,21 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
             )
 
     return files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA)
+
+
+def read_wet(spark: SparkSession, path: str) -> DataFrame:
+    """(url, warc_ts, text) from WET file(s) — Common Crawl's
+    extracted-text sibling format: the SAME record structure with
+    ``WARC-Type: conversion`` and a text/plain payload (no HTTP
+    envelope), i.e. the corpus shape LLM pipelines actually consume.
+    Feeds the documents-style operators (dedup, decontaminate, lang-id,
+    quality) directly."""
+    df = read_warc(spark, path, record_types=("conversion",))
+    from pyspark.sql import functions as F
+
+    return df.select(
+        "url", "warc_ts", F.decode(F.col("html"), "UTF-8").alias("text")
+    )
 
 
 def warc_to_web_pages(spark: SparkSession, path: str) -> DataFrame:

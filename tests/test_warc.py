@@ -81,6 +81,39 @@ def test_read_warc_spark(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_read_wet_conversion_records(spark, tmp_path):
+    """WET = conversion records with plain-text payloads (no HTTP
+    envelope) — lands directly in the documents shape and feeds the
+    text operators."""
+    from hlld_spark.operators.text import with_token_counts
+
+    recs = [
+        ("https://a/x", "2024-02-01T00:00:00Z", "plain extracted text one"),
+        ("https://a/y", "2024-02-02T00:00:00Z", "another extracted document"),
+    ]
+    body = b""
+    for i, (url, date, text) in enumerate(recs):
+        payload = text.encode()
+        hdr = (
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:wet-{i}>\r\n"
+            f"WARC-Target-URI: {url}\r\nWARC-Date: {date}\r\n"
+            "Content-Type: text/plain\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        body += gzip.compress(hdr + payload + b"\r\n\r\n")
+    p = tmp_path / "seg.warc.wet.gz"
+    p.write_bytes(body)
+    from hlld_spark.sources.warc import read_wet
+
+    df = read_wet(spark, str(p))
+    rows = {r["url"]: r["text"] for r in df.collect()}
+    assert rows == {u: t for u, _, t in recs}
+    toks = {r["url"]: r["whitespace_tokens"] for r in with_token_counts(df).collect()}
+    assert toks == {"https://a/x": 4, "https://a/y": 3}
+
+
+@pytest.mark.spark
 def test_warc_to_web_pages_composes_with_sketches(spark, tmp_path):
     """Ingested WARC rows feed the engine like the fixture table:
     deterministic text extraction + an HLL build over urls."""
