@@ -39,6 +39,15 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True, help="web-page table (path or catalog name)")
+    ap.add_argument(
+        "--input-format",
+        default="table",
+        choices=["table", "warc", "wet"],
+        help="table = parquet/Iceberg (default); warc = Common-Crawl web "
+        "archives (response records -> url/warc_ts/html/text via the "
+        "deterministic extractor); wet = CC extracted-text archives "
+        "(conversion records -> url/warc_ts/text)",
+    )
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--output", required=True)
@@ -106,6 +115,9 @@ def main() -> None:
         not silently resume from stale stages). Non-local URIs (s3:// …)
         fall back to the path string — clear the checkpoint dir manually
         when overwriting a remote input."""
+        if os.path.isfile(path):
+            st = os.stat(path)
+            return [[path, st.st_size, st.st_mtime_ns]]
         if not os.path.isdir(path):
             return [path]
         out = []
@@ -116,7 +128,7 @@ def main() -> None:
         return out
 
     sig_fields = [
-        args.input, args.id_col, args.text_col, args.near_dup,
+        args.input, args.input_format, args.id_col, args.text_col, args.near_dup,
         args.near_dup_unit, args.near_dup_k, args.near_dup_threshold,
         args.eval_table, args.eval_text_col, args.decontaminate_n,
         args.decontaminate_unit, args.min_quality, args.max_dup_word_ratio,
@@ -186,7 +198,16 @@ def main() -> None:
         docs = out
         stage(name, docs, note)
 
-    docs = read_table(spark, args.input)
+    if args.input_format == "warc":
+        from hlld_spark.sources.warc import warc_to_web_pages
+
+        docs = warc_to_web_pages(spark, args.input)
+    elif args.input_format == "wet":
+        from hlld_spark.sources.warc import read_wet
+
+        docs = read_wet(spark, args.input)
+    else:
+        docs = read_table(spark, args.input)
     docs = stage("input", docs)
 
     # 1. exact dedup — keeper = min id per content hash

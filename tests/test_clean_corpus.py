@@ -83,6 +83,57 @@ def test_pipeline_end_to_end(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_pipeline_ingests_wet_archive(spark, tmp_path):
+    """r5: --input-format wet runs the cleaning pipeline straight off a
+    Common-Crawl-style extracted-text archive — exact dup removed,
+    planted contamination removed, junk removed."""
+    import gzip
+
+    recs = [
+        ("https://a/1", "the weather was cold this morning and the streets were quiet today"),
+        ("https://a/2", "the weather was cold this morning and the streets were quiet today"),  # dup
+        ("https://a/3", f"header words then {_EVAL_PASSAGE} and a trailing bit"),  # contaminated
+        ("https://a/4", "zz zz zz zz zz zz zz zz zz zz zz zz"),  # junk
+        ("https://a/5", "she said that they would arrive at the station before noon with the others"),
+    ]
+    body = b""
+    for i, (url, text) in enumerate(recs):
+        payload = text.encode()
+        hdr = (
+            "WARC/1.0\r\nWARC-Type: conversion\r\n"
+            f"WARC-Record-ID: <urn:uuid:wet-{i}>\r\n"
+            f"WARC-Target-URI: {url}\r\nWARC-Date: 2024-03-01T00:00:00Z\r\n"
+            f"Content-Length: {len(payload)}\r\n\r\n"
+        ).encode()
+        body += gzip.compress(hdr + payload + b"\r\n\r\n")
+    wet = tmp_path / "seg.warc.wet.gz"
+    wet.write_bytes(body)
+    ev = str(tmp_path / "eval")
+    spark.createDataFrame([(0, _EVAL_PASSAGE)], "i long, text string").write.parquet(ev)
+    out = str(tmp_path / "clean")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable, os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", str(wet), "--input-format", "wet",
+            "--eval-table", ev, "--min-quality", "0.0",
+            "--max-dup-word-ratio", "0.5",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.load(open(metrics_path))
+    stages = {s["stage"]: s for s in m["stages"]}
+    assert stages["input"]["rows"] == 5
+    assert stages["exact_dedup"]["rows"] == 4
+    assert stages["decontaminate"]["rows"] == 3
+    assert stages["quality_filter"]["rows"] == 2
+    kept = sorted(r["url"] for r in spark.read.parquet(out).select("url").collect())
+    assert kept == ["https://a/1", "https://a/5"]
+
+
+@pytest.mark.spark
 def test_pipeline_stage_checkpoint_resume(spark, tmp_path):
     """r4: --stage-checkpoint-dir materializes each stage; a re-run
     resumes from the longest completed stage prefix (no recompute), and
