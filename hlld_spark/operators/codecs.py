@@ -269,6 +269,12 @@ def _walk_wav(data: bytes) -> tuple[int, int, int, int, int]:
         cid = data[pos : pos + 4]
         (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         if cid == b"fmt ":
+            # length-check BEFORE unpack: a truncated fmt chunk must be
+            # the codec's FormatError (which the multimodal operators
+            # map to 'unknown'/None), never a raw struct.error that
+            # kills the whole Spark job (ADVICE r5)
+            if clen < 16 or pos + 24 > len(data):
+                raise WavFormatError("truncated fmt chunk")
             fmt, ch, sr, _br, _ba, bits = struct.unpack("<HHIIHH", data[pos + 8 : pos + 24])
             if fmt != 1:
                 raise WavFormatError(f"only PCM supported (fmt tag {fmt})")
@@ -332,12 +338,16 @@ def _walk_avi(data: bytes):
         if ltype == b"hdrl":
             for scid, soff, sclen in _avi_subchunks(data, off + 4, off + clen):
                 if scid == b"avih":
+                    if sclen < 40 or soff + 40 > len(data):
+                        raise AviFormatError("truncated avih chunk")
                     usec, _mbps, _pad, _flags, nf, _init, _nstr, _buf, w, h = struct.unpack(
                         "<10I", data[soff : soff + 40]
                     )
                 elif scid == b"LIST" and data[soff : soff + 4] == b"strl":
                     for tcid, toff, tclen in _avi_subchunks(data, soff + 4, soff + sclen):
                         if tcid == b"strf":
+                            if tclen < 20 or toff + 20 > len(data):
+                                raise AviFormatError("truncated strf chunk")
                             (_sz, _bw, _bh, _planes, bitcount, compression) = struct.unpack(
                                 "<IiiHHI", data[toff : toff + 20]
                             )

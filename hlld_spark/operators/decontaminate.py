@@ -101,6 +101,14 @@ def _gram_hashes_df(df: DataFrame, text_col: str, n: int, unit: str) -> DataFram
     return df.select(text_col).mapInPandas(extract, schema).distinct()
 
 
+class EvalGramOverflow(ValueError):
+    """Eval set has more distinct n-grams than ``max_eval_grams`` — the
+    broadcast-probe path is off the table; callers fall back to the
+    distributed gram equi-join. A dedicated type (ADVICE r5): catching
+    bare ValueError silently rerouted UNRELATED errors onto the
+    expensive full-corpus-shuffle path."""
+
+
 def eval_gram_table(
     eval_df: DataFrame,
     text_col: str,
@@ -124,7 +132,7 @@ def eval_gram_table(
     except AttributeError:  # Spark < 4 fallback: Arrow-backed toPandas
         col = limited.toPandas()["gram_hash"].to_numpy()
     if len(col) > max_eval_grams:
-        raise ValueError(
+        raise EvalGramOverflow(
             f"eval set has >{max_eval_grams} distinct {n}-grams; "
             "decontaminate() broadcasts the eval side — use a smaller eval table "
             "or raise max_eval_grams if the driver/executors have the memory"
@@ -281,7 +289,7 @@ def decontaminate(
     spark = docs.sparkSession
     try:
         table = eval_gram_table(eval_df, eval_text_col, n, max_eval_grams, unit)
-    except ValueError:
+    except EvalGramOverflow:
         return _flag_via_join(
             _corpus_gram_occurrences(docs, id_col, text_col, n, unit),
             eval_df, id_col, eval_text_col, n, unit,
@@ -340,7 +348,7 @@ def decontaminate_parquet(
     id_field = spark.read.parquet(path).schema[id_col]
     try:
         table = eval_gram_table(eval_df, eval_text_col, n, max_eval_grams, unit)
-    except ValueError:
+    except EvalGramOverflow:
         # same distributed-join fallback as :func:`decontaminate`, with
         # the corpus gram stream produced by the worker-side scan
         gram_schema = StructType([id_field, StructField("gram_hash", LongType(), False)])

@@ -505,7 +505,9 @@ def sample_video_frames(
                     except AviFormatError:
                         vals.append(None)
                         continue
-                    frames = fr.reshape(fr.shape[0], -1)
+                    # explicit dims: reshape(nf, -1) raises on a
+                    # zero-frame AVI (size-0 array, ADVICE r5)
+                    frames = fr.reshape(fr.shape[0], fr.shape[1] * fr.shape[2] * fr.shape[3])
                 else:
                     vals.append(None)
                     continue

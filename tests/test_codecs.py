@@ -403,3 +403,58 @@ def test_spark_video_sampling_on_real_avi(spark):
     feats = sample_video_frames(df, every_n=4).collect()[0]["frame_features"]
     expect = [round(float(f.astype(np.float64).mean()), 6) for f in vid[::4]]
     assert feats == expect
+
+
+def test_truncated_riff_chunks_raise_format_errors():
+    """ADVICE r5: a truncated fmt/avih/strf chunk must raise the
+    codec's FormatError (which the operators map to 'unknown'/None),
+    never a raw struct.error that kills the whole job."""
+    import struct
+
+    from hlld_spark.operators.codecs import (
+        AviFormatError,
+        WavFormatError,
+        decode_avi,
+        decode_wav,
+        encode_avi,
+        encode_wav,
+        parse_avi_header,
+        parse_wav_header,
+    )
+
+    wav = encode_wav(np.zeros(16, dtype=np.int16), 8000)
+    # fmt chunk declares 16 bytes but carries 4
+    bad_wav = wav[:12] + b"fmt " + struct.pack("<I", 4) + wav[20:24]
+    for fn in (decode_wav, parse_wav_header):
+        with pytest.raises(WavFormatError):
+            fn(bad_wav)
+
+    avi = encode_avi(np.zeros((1, 4, 4, 3), dtype=np.uint8), fps=10)
+    # truncate inside the avih body: keep RIFF + LIST hdrl + avih header,
+    # then cut the file 8 bytes into avih's 56-byte body
+    avih_at = avi.find(b"avih")
+    bad_avi = avi[: avih_at + 8 + 8]
+    for fn in (decode_avi, parse_avi_header):
+        with pytest.raises(AviFormatError):
+            fn(bad_avi)
+    # shrink the strf chunk's declared length below the 20 bytes _walk_avi needs
+    strf_at = avi.find(b"strf")
+    bad_strf = avi[: strf_at + 4] + struct.pack("<I", 8) + avi[strf_at + 8 : strf_at + 16]
+    with pytest.raises(AviFormatError):
+        decode_avi(bad_strf)
+
+
+@pytest.mark.spark
+def test_zero_frame_avi_through_sampler(spark):
+    """ADVICE r5: a zero-frame AVI used to crash sample_video_frames
+    (reshape of a size-0 array); it must flow through as an empty
+    feature list."""
+    from hlld_spark.operators.codecs import decode_avi, encode_avi
+    from hlld_spark.operators.multimodal import sample_video_frames
+
+    empty = encode_avi(np.zeros((0, 4, 4, 3), dtype=np.uint8), fps=10)
+    fr, _fps = decode_avi(empty)
+    assert fr.shape == (0, 4, 4, 3)
+    df = spark.createDataFrame([("v0", bytearray(empty))], "id string, payload binary")
+    rows = sample_video_frames(df, every_n=2).select("id", "frame_features").collect()
+    assert rows[0]["frame_features"] == []

@@ -327,3 +327,23 @@ def test_token_no_corpus_exchange_in_plan(spark):
     flagged = decontaminate(_token_corpus(spark), _token_eval(spark), "doc_id", "text", n=13)
     plan = flagged._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_unrelated_valueerror_propagates(spark, monkeypatch):
+    """ADVICE r5 / VERDICT r5 #6: only EvalGramOverflow may trigger the
+    distributed-join fallback. An UNRELATED ValueError raised while
+    building the eval gram table must propagate, not silently reroute
+    the query onto the full-corpus-shuffle path."""
+    import hlld_spark.operators.decontaminate as d
+
+    docs = spark.createDataFrame([(1, "some corpus text")], "id long, text string")
+    ev = spark.createDataFrame([("eval text",)], "text string")
+
+    def boom(*a, **k):
+        raise ValueError("unrelated driver-side failure")
+
+    monkeypatch.setattr(d, "eval_gram_table", boom)
+    with pytest.raises(ValueError, match="unrelated driver-side failure"):
+        d.decontaminate(docs, ev, "id", "text")
+    # the overflow subtype still takes the fallback (sanity: it's a ValueError)
+    assert issubclass(d.EvalGramOverflow, ValueError)

@@ -135,3 +135,105 @@ def test_warc_to_web_pages_composes_with_sketches(spark, tmp_path):
     ).collect()
     got = {r["host"]: (r["n_rows"], round(r["estimate"])) for r in est}
     assert got == {"host0.example.org": (2, 2), "host1.example.org": (1, 1)}
+
+
+def test_negative_content_length_raises():
+    """ADVICE r5: int() happily parses '-54'; the pre-r6 parser moved
+    the cursor BACKWARDS, so a crafted record whose negative length
+    points back at its own version line looped forever. Must raise."""
+    evil = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: https://evil/\r\nContent-Length: -54\r\n\r\n"
+        b"padding bytes"
+    )
+    with pytest.raises(WarcFormatError, match="negative Content-Length"):
+        list(parse_warc_records(evil))
+
+
+def test_iter_records_chunked_equals_whole_buffer(tmp_path):
+    """The incremental parser must produce byte-identical records no
+    matter how the uncompressed stream is chunked (headers and payloads
+    split across chunk boundaries)."""
+    from hlld_spark.sources.warc import iter_warc_records
+
+    p = str(tmp_path / "c.warc")
+    write_warc(p, _RECORDS, compress=False)
+    raw = open(p, "rb").read()
+    whole = list(parse_warc_records(raw))
+    for sz in (1, 3, 7, 64, len(raw)):
+        chunks = (raw[i : i + sz] for i in range(0, len(raw), sz))
+        got = list(iter_warc_records(chunks))
+        assert [(r["headers"], r["payload"]) for r in got] == [
+            (r["headers"], r["payload"]) for r in whole
+        ]
+
+
+def test_iter_gunzip_chunked_members(tmp_path):
+    """Member-by-member incremental decompression: output joined across
+    arbitrary input chunkings equals the whole-buffer decode."""
+    from hlld_spark.sources.warc import _iter_gunzip
+
+    data = b"".join(gzip.compress(f"member-{i}-".encode() * 50) for i in range(8))
+    want = _gunzip_members(data)
+    for sz in (1, 5, 100, len(data)):
+        chunks = (data[i : i + sz] for i in range(0, len(data), sz))
+        assert b"".join(_iter_gunzip(chunks)) == want
+    with pytest.raises(WarcFormatError, match="truncated gzip"):
+        list(_iter_gunzip(iter([data[:-6]])))
+
+
+def test_streaming_bounded_memory(tmp_path):
+    """VERDICT r5 #2 gate: parse a multi-hundred-MB archive through the
+    streaming path and assert peak traced memory stays bounded by the
+    record size, not the archive size (the old path buffered the whole
+    decompressed archive — ~6x archive size per task)."""
+    import tracemalloc
+
+    from hlld_spark.sources.warc import _iter_file_chunks, _iter_gunzip, iter_warc_records
+
+    rec_payload = (b"<html>" + b"lorem ipsum dolor sit amet " * 160_000 + b"</html>")  # ~4.1 MB
+    n_records = 64  # ~264 MB of total payload
+    p = str(tmp_path / "big.warc.gz")
+    with open(p, "wb") as f:
+        for i in range(n_records):
+            http = (
+                b"HTTP/1.1 200 OK\r\n"
+                + f"Content-Length: {len(rec_payload)}\r\n\r\n".encode()
+                + rec_payload
+            )
+            hdr = (
+                "WARC/1.0\r\nWARC-Type: response\r\n"
+                f"WARC-Target-URI: https://big.example.org/{i}\r\n"
+                "WARC-Date: 2024-01-01T00:00:00Z\r\n"
+                f"Content-Length: {len(http)}\r\n\r\n"
+            ).encode()
+            f.write(gzip.compress(hdr + http + b"\r\n\r\n", 1))
+    total_payload = n_records * (len(rec_payload) + 44)  # + http envelope
+    tracemalloc.start()
+    seen = 0
+    count = 0
+    with open(p, "rb") as f:
+        for rec in iter_warc_records(_iter_gunzip(_iter_file_chunks(f))):
+            seen += len(rec["payload"])
+            count += 1
+    peak = tracemalloc.get_traced_memory()[1]
+    tracemalloc.stop()
+    assert count == n_records
+    assert seen == total_payload
+    # bound: a few records + one 4 MB input chunk, NOT the ~264 MB stream
+    assert peak < 64 << 20, f"peak {peak / 1e6:.1f} MB — streaming is not bounded"
+
+
+@pytest.mark.spark
+def test_read_warc_batched_and_content_pruned(spark, tmp_path):
+    """Tiny batch_bytes forces one output batch per record — results
+    must equal the default; and the binaryFile scan must read ONLY the
+    path column (content stays out of the JVM entirely)."""
+    p = str(tmp_path / "a.warc.gz")
+    write_warc(p, _RECORDS)
+    default = {r["url"]: bytes(r["html"]) for r in read_warc(spark, p).collect()}
+    tiny = read_warc(spark, p, batch_bytes=1)
+    got = {r["url"]: bytes(r["html"]) for r in tiny.collect()}
+    assert got == default == {u: h for u, _, h in _RECORDS}
+    plan = tiny._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<path:string>" in plan, plan
