@@ -338,8 +338,84 @@ def write_warc(path: str, records: list[tuple[str, str, bytes]], compress: bool 
                 f"Content-Length: {len(http)}\r\n\r\n"
             ).encode()
             rec = hdr + http + b"\r\n\r\n"
-            f.write(gzip.compress(rec) if compress else rec)
+            # mtime=0: gzip embeds a timestamp; zeroing it makes fixture
+            # archives byte-deterministic across runs
+            f.write(gzip.compress(rec, mtime=0) if compress else rec)
     return path
+
+
+_FIXTURE_VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima "
+    "mike november oscar papa quebec romeo sierra tango uniform victor whiskey"
+).split()
+
+
+def _fixture_page(i: int) -> tuple[str, str, str, bytes, str]:
+    """(url, host, warc_date, html, expected_text) for fixture page i —
+    pure index arithmetic, no randomness."""
+    host = f"host{i % 7}.example.org"
+    url = f"https://{host}/page/{i}"
+    date = f"2024-03-{(i % 27) + 1:02d}T{i % 24:02d}:{(i * 7) % 60:02d}:{(i * 13) % 60:02d}Z"
+    v = _FIXTURE_VOCAB
+    title = f"{v[i % len(v)]} {v[(i * 3) % len(v)]} page {i}"
+    p1 = " ".join(v[(i * 5 + k) % len(v)] for k in range(3 + i % 9))
+    p2 = " ".join(v[(i * 11 + k * 2) % len(v)] for k in range(2 + i % 6))
+    html = (
+        f"<html><head><title>{title}</title></head>"
+        f"<body><p>{p1}</p><p>{p2}</p></body></html>"
+    ).encode()
+    return url, host, date, html, f"{title}\n{p1}\n{p2}"
+
+
+def write_warc_fixture(dir_path: str, n_pages: int = 240, n_files: int = 3) -> str:
+    """Deterministic WARC corpus for the driver gate (VERDICT r5 #5):
+    ``n_pages`` response records spread over ``n_files`` archives +
+    ``truth.parquet`` holding the GROUND-TRUTH (url, host, warc_date,
+    text) stored at generation — the html is constructed FROM the text,
+    so the engine must invert it via record parse + HTTP strip +
+    ``extract_text`` to match. Page ``n_pages-1`` is a refetch of page
+    0's url at a later date (pins COUNT DISTINCT vs COUNT), and the
+    last archive carries a request record, a conversion record and a
+    response with no WARC-Target-URI — all of which ingestion must
+    skip. Byte-deterministic (gzip mtime=0): regeneration equals the
+    committed copy, asserted in tests."""
+    import os
+
+    os.makedirs(dir_path, exist_ok=True)
+    pages = [_fixture_page(i) for i in range(n_pages - 1)]
+    # refetch: same url/host/html as page 0, one day later
+    url0, host0, _d0, html0, text0 = pages[0]
+    pages.append((url0, host0, "2024-03-02T01:07:13Z", html0, text0))
+    per = (len(pages) + n_files - 1) // n_files
+    for fi in range(n_files):
+        chunk = pages[fi * per : (fi + 1) * per]
+        write_warc(
+            os.path.join(dir_path, f"part{fi}.warc.gz"),
+            [(u, d, h) for u, _host, d, h, _t in chunk],
+        )
+    # non-response noise appended to the last archive: ingestion skips it
+    noise = (
+        b"WARC/1.0\r\nWARC-Type: request\r\nWARC-Target-URI: https://skip.me/\r\n"
+        b"Content-Length: 4\r\n\r\nGET \r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: conversion\r\nWARC-Target-URI: https://skip.me/wet\r\n"
+        b"Content-Length: 5\r\n\r\nplain\r\n\r\n"
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 2\r\n\r\nno\r\n\r\n"
+    )
+    with open(os.path.join(dir_path, f"part{n_files - 1}.warc.gz"), "ab") as f:
+        f.write(gzip.compress(noise, mtime=0))
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table(
+        {
+            "url": [p[0] for p in pages],
+            "host": [p[1] for p in pages],
+            "warc_date": [p[2] for p in pages],
+            "text": [p[4] for p in pages],
+        }
+    )
+    pq.write_table(table, os.path.join(dir_path, "truth.parquet"))
+    return dir_path
 
 
 def utcnow_warc_date() -> str:

@@ -237,3 +237,38 @@ def test_read_warc_batched_and_content_pruned(spark, tmp_path):
     assert got == default == {u: h for u, _, h in _RECORDS}
     plan = tiny._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<path:string>" in plan, plan
+
+
+def test_fixture_regeneration_is_byte_deterministic(tmp_path):
+    """The committed driver-gate fixture (tests/fixtures/warc_240) must
+    be byte-identical to a fresh regeneration — gzip mtime is zeroed and
+    content is pure index arithmetic."""
+    import os
+
+    from hlld_spark.sources.warc import write_warc_fixture
+
+    out = str(tmp_path / "regen")
+    write_warc_fixture(out, 240)
+    committed = os.path.join(os.path.dirname(__file__), "fixtures", "warc_240")
+    for name in ("part0.warc.gz", "part1.warc.gz", "part2.warc.gz"):
+        a = open(os.path.join(out, name), "rb").read()
+        b = open(os.path.join(committed, name), "rb").read()
+        assert a == b, f"{name} differs from the committed fixture"
+
+
+@pytest.mark.spark
+def test_fixture_ingest_counts_and_noise_skipped(spark, tmp_path):
+    """240 response records (239 distinct urls — one refetch) survive;
+    the request/conversion/no-URI noise records do not."""
+    from pyspark.sql import functions as F
+
+    from hlld_spark.sources.warc import warc_to_web_pages, write_warc_fixture
+
+    d = str(tmp_path / "fx")
+    write_warc_fixture(d, 240)
+    pages = warc_to_web_pages(spark, d + "/*.warc.gz")
+    agg = pages.agg(
+        F.count("*").alias("n"), F.countDistinct("url").alias("u")
+    ).collect()[0]
+    assert (agg["n"], agg["u"]) == (240, 239)
+    assert pages.filter(F.col("url").contains("skip.me")).count() == 0
