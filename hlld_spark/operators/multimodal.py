@@ -3,16 +3,17 @@
 Spark-side plumbing is REAL and tested: schema conventions, header
 parsing, Arrow-batched UDF signatures, partition-friendly batch shapes.
 
-Codecs (r5): **PNG, WAV and uncompressed AVI decode for REAL** — pure
-python/numpy implementations from the public specs
-(``operators/codecs.py``; PNG is zlib + row filters, WAV/AVI are RIFF
-containers; none needs PIL/ffmpeg). parse_metadata reads PNG IHDR /
-WAV fmt+data / AVI avih HEADERS without inflating pixel or sample
-data; extract_image_features / resize_images accept PNG payloads;
-sample_audio_frames accepts WAV; sample_video_frames accepts AVI.
-JPEG and entropy-coded video codecs remain honestly STUBBED behind
-`try: import PIL` (DCT/huffman, inter-frame prediction; the container
-has no image libraries).
+Codecs: **PNG, WAV, uncompressed AVI (r5) and baseline JPEG (r6)
+decode for REAL** — pure python/numpy implementations from the public
+specs (``operators/codecs.py``, ``operators/jpeg.py``; PNG is zlib +
+row filters, WAV/AVI are RIFF containers, JPEG is huffman + IDCT per
+ITU-T T.81; none needs PIL/ffmpeg). parse_metadata reads PNG IHDR /
+JPEG SOF / WAV fmt+data / AVI avih HEADERS without inflating pixel or
+sample data; extract_image_features / resize_images accept PNG and
+JPEG payloads; sample_audio_frames accepts WAV; sample_video_frames
+accepts AVI. Entropy-coded VIDEO codecs (H.26x/VP9) and GIF/WebP
+remain honestly STUBBED behind `try: import PIL` (inter-frame
+prediction is out of scope; the container has no media libraries).
 
 Binary format for synthetic fixtures (self-describing, parsed for real):
     b"FIMG" | u16 width | u16 height | u8 channels | payload bytes
@@ -51,6 +52,13 @@ from .codecs import (
     parse_avi_header,
     parse_png_header,
     parse_wav_header,
+)
+from .jpeg import (
+    JPEG_MAGIC,
+    JpegFormatError,
+    decode_jpeg,
+    encode_jpeg,
+    parse_jpeg_header,
 )
 
 _IMG_MAGIC = b"FIMG"
@@ -163,16 +171,22 @@ def write_assets_fixture(path: str, n: int, seed: int = 42) -> str:
 
 
 def _gen_real_asset(i: int, seed: int) -> dict:
-    """One deterministic REAL-format asset row (r5), cycling through the
-    three modalities: id%3==0 → PNG (channels cycling 1/3/4, row filter
-    cycling None/Sub/Up so the decoder's unfilter paths are all
-    exercised), id%3==1 → WAV (PCM16, mono/stereo alternating),
-    id%3==2 → uncompressed AVI (DIB frames, incl. widths that need the
-    4-byte stride padding). Ground-truth columns cover both the HEADER
-    fields and a DECODE-dependent statistic (first-channel pixel mean /
-    frame-0 mean / exact decimated-sample sum), so the oracle catches a
-    wrong decode, not just a wrong header parse."""
+    """One deterministic REAL-format asset row, cycling through FOUR
+    modalities (r6 adds JPEG): id%4==0 → PNG (channels cycling 1/3/4,
+    row filter cycling None/Sub/Up so the decoder's unfilter paths are
+    all exercised), id%4==1 → WAV (PCM16, mono/stereo alternating),
+    id%4==2 → uncompressed AVI (DIB frames, incl. widths that need the
+    4-byte stride padding), id%4==3 → baseline JPEG (gray/RGB, quality
+    and 4:4:4/4:2:2/4:2:0 subsampling cycling, restart intervals every
+    third one). Ground-truth columns cover both the HEADER fields and a
+    DECODE-dependent statistic (first-channel pixel mean / frame-0 mean
+    / exact decimated-sample sum), so the oracle catches a wrong
+    decode, not just a wrong header parse. JPEG truth pixels come from
+    the ENCODER-side transforms only (``quantized_planes`` +
+    ``dequant_idct_reference`` — no entropy coding), which the full
+    decoder must reproduce exactly."""
     from .codecs import encode_avi, encode_png, encode_wav
+    from .jpeg import dequant_idct_reference, quantized_planes
 
     r = int(splitmix64(np.array([np.uint64(i * 2 + 1) ^ np.uint64(seed)], dtype=np.uint64))[0])
     row = {
@@ -181,9 +195,9 @@ def _gen_real_asset(i: int, seed: int) -> dict:
         "sample_rate": None, "n_samples": None, "n_frames": None,
         "chan0_mean": None, "samp_sum": None, "resized_mean": None,
     }
-    if i % 3 == 0:
+    if i % 4 == 0:
         w, h = 4 + r % 29, 4 + (r >> 8) % 29
-        c = (1, 3, 4)[(i // 3) % 3]
+        c = (1, 3, 4)[(i // 4) % 3]
         body = np.frombuffer(_det_bytes(i, w * h * c, seed), dtype=np.uint8).reshape(h, w, c)
         # truth means computed with the SAME float64-mean + python-round
         # pipeline extract_image_features uses — bit-identical by path.
@@ -194,14 +208,39 @@ def _gen_real_asset(i: int, seed: int) -> dict:
         rs = body[ys][:, xs]
         row.update(
             kind="image", width=w, height=h, channels=c,
-            payload=encode_png(body, filter_type=(i // 3) % 3),
+            payload=encode_png(body, filter_type=(i // 4) % 3),
             chan0_mean=round(float(body.astype(np.float64)[:, :, 0].mean()), 6),
             resized_mean=round(float(rs.astype(np.float64)[:, :, 0].mean()), 6),
         )
-    elif i % 3 == 1:
+    elif i % 4 == 3:
+        w, h = 5 + r % 28, 5 + (r >> 8) % 28
+        c = 1 if (i // 4) % 3 == 2 else 3
+        quality = (75, 85, 92)[(i // 4) % 3]
+        ss = ("4:4:4", "4:2:0", "4:2:2")[(i // 4) % 3] if c == 3 else "4:4:4"
+        dri = 3 if (i // 4) % 3 == 1 else 0
+        body = np.frombuffer(_det_bytes(i, w * h * c, seed), dtype=np.uint8).reshape(h, w, c)
+        from .jpeg import encode_jpeg as _ej
+
+        payload = _ej(body, quality, ss, restart_interval=dri)
+        coefs, qs, samp = quantized_planes(body, quality, ss)
+        truth_px = dequant_idct_reference(coefs, qs, samp, w, h, c == 1)
+        ys = (np.arange(4) * h // 4).clip(0, h - 1)
+        xs = (np.arange(4) * w // 4).clip(0, w - 1)
+        rs = truth_px[ys][:, xs]
+        # resize leg: nearest-neighbor on the decoded pixels, JPEG
+        # re-encode (quality 85, 4:4:4 — resize_images' default), decode
+        rcoefs, rqs, rsamp = quantized_planes(rs, 85, "4:4:4")
+        rtruth = dequant_idct_reference(rcoefs, rqs, rsamp, 4, 4, c == 1)
+        row.update(
+            kind="image", width=w, height=h, channels=c,
+            payload=payload,
+            chan0_mean=round(float(truth_px.astype(np.float64)[:, :, 0].mean()), 6),
+            resized_mean=round(float(rtruth.astype(np.float64)[:, :, 0].mean()), 6),
+        )
+    elif i % 4 == 1:
         sr = 8000 * (1 + (r >> 16) % 3)
         ns = 32 + (r >> 24) % 200
-        ch = 1 + (i // 3) % 2
+        ch = 1 + (i // 4) % 2
         samples = np.frombuffer(_det_bytes(i, ns * ch * 2, seed), dtype="<i2").reshape(ns, ch)
         # truth = exact integer sum of the every-4th channel-0 samples
         # (what sample_audio_frames emits) — no float rounding in play
@@ -289,6 +328,13 @@ def parse_metadata(df: DataFrame, payload_col: str = "payload", out: str = "meta
                     rows.append(("image", w, h, c, None, None, None, len(b)))
                 except PngFormatError:
                     rows.append(("unknown", None, None, None, None, None, None, len(b)))
+            elif b[:2] == JPEG_MAGIC:
+                # real format (r6): SOF header fields only — no entropy decode
+                try:
+                    w, h, c = parse_jpeg_header(b)
+                    rows.append(("image", w, h, c, None, None, None, len(b)))
+                except JpegFormatError:
+                    rows.append(("unknown", None, None, None, None, None, None, len(b)))
             elif b[:4] == _WAV_MAGIC and b[8:12] == b"WAVE":
                 try:
                     sr, ns, _ch = parse_wav_header(b)
@@ -312,13 +358,14 @@ def parse_metadata(df: DataFrame, payload_col: str = "payload", out: str = "meta
 
 
 def _is_image_payload(b: bytes) -> bool:
-    return b[:4] == _IMG_MAGIC or b[:8] == PNG_MAGIC
+    return b[:4] == _IMG_MAGIC or b[:8] == PNG_MAGIC or b[:2] == JPEG_MAGIC
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode to an HxWxC uint8 array. REAL for PNG (r5 — pure
-    python/numpy codec, ``operators/codecs.py``) and for the engine's
-    own FIMG fixture format; JPEG and friends remain stubbed behind PIL
+    """Decode to an HxWxC uint8 array. REAL for PNG (r5) and baseline
+    JPEG (r6) — both pure python/numpy codecs (``operators/codecs.py``,
+    ``operators/jpeg.py``) — plus the engine's own FIMG fixture format;
+    remaining web formats (GIF/WebP/AVIF) stay stubbed behind PIL
     (absent in this container)."""
     if payload[:4] == _IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", payload[4:9])
@@ -328,6 +375,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return body.reshape(h, w, c)
     if payload[:8] == PNG_MAGIC:
         return decode_png(payload)
+    if payload[:2] == JPEG_MAGIC:
+        return decode_jpeg(payload)
     try:  # pragma: no cover - container has no PIL
         import io
 
@@ -336,8 +385,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError:
         raise NotImplementedError(
-            "JPEG and other entropy-coded image formats need PIL (absent here); "
-            "PNG and the FIMG fixture format decode for real"
+            "GIF/WebP/AVIF need PIL (absent here); PNG, baseline JPEG and "
+            "the FIMG fixture format decode for real"
         ) from None
 
 
@@ -356,7 +405,11 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload", out: str
                 if not _is_image_payload(b):
                     vals.append(None)
                     continue
-                px = _decode_image(b).astype(np.float64)
+                try:
+                    px = _decode_image(b).astype(np.float64)
+                except (PngFormatError, JpegFormatError):
+                    vals.append(None)  # corrupt payload, not a job failure
+                    continue
                 vals.append(
                     [round(float(x), 6) for x in np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])]
                 )
@@ -370,7 +423,7 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload", out: str
 def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "payload", out: str = "resized") -> DataFrame:
     """Nearest-neighbor resize. Output format mirrors the input: PNG in
     → PNG out (re-encoded with the pure codec, r5); FIMG in → FIMG out.
-    JPEG stubbed as in _decode_image."""
+    JPEG in → JPEG out (r6, re-encoded at quality 85 / 4:4:4)."""
     from .codecs import encode_png
 
     fields = list(df.schema.fields) + [StructField(out, BinaryType(), True)]
@@ -384,12 +437,18 @@ def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "pa
                 if not _is_image_payload(b):
                     vals.append(None)
                     continue
-                px = _decode_image(b)
+                try:
+                    px = _decode_image(b)
+                except (PngFormatError, JpegFormatError):
+                    vals.append(None)
+                    continue
                 ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
                 xs = (np.arange(width) * px.shape[1] // width).clip(0, px.shape[1] - 1)
                 rs = px[ys][:, xs]
                 if b[:8] == PNG_MAGIC:
                     vals.append(encode_png(rs))
+                elif b[:2] == JPEG_MAGIC:
+                    vals.append(encode_jpeg(rs))  # JPEG in -> JPEG out
                 else:
                     vals.append(_IMG_MAGIC + struct.pack("<HHB", width, height, px.shape[2]) + rs.tobytes())
             pdf = pdf.copy()
@@ -439,7 +498,13 @@ def multimodal_features_parquet(
             for b in pdf[payload_col]:
                 b = bytes(b) if b is not None else b""
                 if _is_image_payload(b):
-                    px = _decode_image(b).astype(np.float64)
+                    try:
+                        px = _decode_image(b).astype(np.float64)
+                    except (PngFormatError, JpegFormatError):
+                        kinds.append("unknown")
+                        imf.append(None)
+                        auf.append(None)
+                        continue
                     kinds.append("image")
                     imf.append(
                         [round(float(x), 6) for x in np.concatenate([px.mean(axis=(0, 1)), px.std(axis=(0, 1))])]
