@@ -105,7 +105,18 @@ def _average_row(row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
 
 def _unfilter_image(raw: np.ndarray, nch: int) -> np.ndarray:
     """Reconstruct one filtered (sub-)image: raw is (rows, stride+1)
-    uint8 with the filter byte in column 0. Returns (rows, stride)."""
+    uint8 with the filter byte in column 0. Returns (rows, stride).
+    Dispatch: images containing Average/Paeth rows take the wavefront
+    path (r6 — anti-diagonal vectorization, H+W steps); pure
+    None/Sub/Up images keep the cheaper row-at-a-time path."""
+    if raw.size and (raw[:, 0] >= 3).any():
+        return _unfilter_image_wavefront(raw, nch)
+    return _unfilter_image_rows(raw, nch)
+
+
+def _unfilter_image_rows(raw: np.ndarray, nch: int) -> np.ndarray:
+    """Row-sequential unfilter (the r5 path; also the independent slow
+    reference the wavefront is equality-tested against)."""
     height, stride1 = raw.shape
     stride = stride1 - 1
     filters = raw[:, 0]
@@ -138,13 +149,10 @@ _ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
           (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
 
 
-def decode_png(data: bytes) -> np.ndarray:
-    """Decode a PNG to an (H, W, C) uint8 array (C per color type;
-    palette images expand to RGB). Supports bit depth 8, non-interlaced
-    AND Adam7-interlaced — raises :class:`PngFormatError` otherwise.
-    Ancillary chunks (tRNS transparency, gAMA, …) are ignored — palette
-    transparency would need a tRNS→alpha expansion this decoder does
-    not implement."""
+def _parse_png(data: bytes):
+    """(width, height, nch, color_type, interlace, palette, raw) — all
+    chunk parsing + IDAT decompression shared by the single-image and
+    batch decoders. ``raw`` is the filtered byte stream."""
     if data[:8] != PNG_MAGIC:
         raise PngFormatError("not a PNG")
     width = height = None
@@ -169,8 +177,19 @@ def decode_png(data: bytes) -> np.ndarray:
     if color_type not in _CHANNELS_BY_COLOR_TYPE:
         raise PngFormatError(f"unknown color type {color_type}")
     nch = _CHANNELS_BY_COLOR_TYPE[color_type]
-    stride = width * nch
     raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    return width, height, nch, color_type, interlace, palette, raw
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG to an (H, W, C) uint8 array (C per color type;
+    palette images expand to RGB). Supports bit depth 8, non-interlaced
+    AND Adam7-interlaced — raises :class:`PngFormatError` otherwise.
+    Ancillary chunks (tRNS transparency, gAMA, …) are ignored — palette
+    transparency would need a tRNS→alpha expansion this decoder does
+    not implement."""
+    width, height, nch, color_type, interlace, palette, raw = _parse_png(data)
+    stride = width * nch
     if interlace == 0:
         if len(raw) != height * (stride + 1):
             raise PngFormatError("decompressed size mismatch")
@@ -200,6 +219,146 @@ def decode_png(data: bytes) -> np.ndarray:
             raise PngFormatError("palette image without PLTE")
         px = palette[px[:, :, 0]]
     return px
+
+
+def _unfilter_wavefront_stack(raw3: np.ndarray, nch: int) -> np.ndarray:
+    """Anti-diagonal (wavefront) unfilter over a STACK of same-shape
+    images (VERDICT r5 #4). EVERY PNG filter's recurrence depends only
+    on the reconstructed (y, x-1), (y-1, x) and (y-1, x-1) pixels, so
+    all cells on an anti-diagonal y+x = d — across ALL images of the
+    stack — are independent and advance together as one numpy vector:
+    H+W-1 steps instead of H×W×C per-byte Python iterations, with the
+    per-step vector k·diag·C lanes wide. Storage is SKEWED and
+    diagonal-major — S[d] holds diagonal x+y = d as one contiguous
+    (H, k, C) block — so the three neighbors are row-shifts of S[d-1]
+    and S[d-2], no fancy indexing inside the loop. Per-row filter
+    choices become boolean masks computed ONCE; inside the loop they
+    are pure slices.
+
+    raw3: (k, H, stride+1) uint8. Returns (k, H, stride) uint8."""
+    k, height, s1 = raw3.shape
+    stride = s1 - 1
+    if height == 0 or stride == 0 or k == 0:
+        return np.empty((k, height, stride), dtype=np.uint8)
+    w = stride // nch
+    filters = raw3[:, :, 0]
+    if filters.max(initial=0) > 4:
+        img, y = np.unravel_index(int(np.argmax(filters)), filters.shape)
+        raise PngFormatError(f"unknown filter {int(filters[img, y])} in row {int(y)}")
+    # (H, w, k, C): diagonal-major skew below keeps each S[d] contiguous
+    rows = raw3[:, :, 1:].reshape(k, height, w, nch).transpose(1, 2, 0, 3).astype(np.int16)
+    ncols = w + height
+    yi = np.arange(height)[:, None]
+    ci = np.arange(w)[None, :] + yi
+    rsk = np.zeros((ncols, height, k, nch), dtype=np.int16)
+    rsk[ci, yi] = rows
+    osk = np.zeros((ncols, height, k, nch), dtype=np.int16)
+    fm = filters.T[:, :, None]  # (H, k, 1)
+    m0, m1, m2, m3 = fm == 0, fm == 1, fm == 2, fm == 3
+    # every loop temporary is preallocated and written via ufunc `out=`
+    # / `np.copyto(where=)` — zero allocations per diagonal
+    shape = (height, k, nch)
+    bbuf = np.zeros(shape, dtype=np.int16)
+    cbuf = np.zeros(shape, dtype=np.int16)
+    t1 = np.empty(shape, dtype=np.int16)  # p-a signed
+    t2 = np.empty(shape, dtype=np.int16)  # p-b signed, then Average pred
+    t3 = np.empty(shape, dtype=np.int16)  # p-c signed, then |p-c|
+    t4 = np.empty(shape, dtype=np.int16)  # |p-a|
+    t5 = np.empty(shape, dtype=np.int16)  # |p-b|
+    sel = np.empty(shape, dtype=np.int16)  # paeth choice, then final pred
+    bb1 = np.empty(shape, dtype=bool)
+    bb2 = np.empty(shape, dtype=bool)
+    zrow = np.zeros((1, k, nch), dtype=np.int16)
+    for d in range(w + height - 1):
+        y0 = max(0, d - w + 1)
+        y1 = min(height - 1, d)
+        sl = slice(y0, y1 + 1)
+        if d == 0:
+            a = b = c = zrow
+        else:
+            a = osk[d - 1][sl]  # (y, x-1): same rows, previous diagonal
+            b = bbuf[sl]  # (y-1, x): rows-1 of previous diagonal
+            c = cbuf[sl]  # (y-1, x-1): rows-1 of diagonal d-2
+            if y0 > 0:
+                b[:] = osk[d - 1][y0 - 1 : y1]
+                c[:] = osk[d - 2][y0 - 1 : y1] if d >= 2 else 0
+            else:
+                b[0] = 0
+                b[1:] = osk[d - 1][0:y1]
+                c[0] = 0
+                c[1:] = osk[d - 2][0:y1] if d >= 2 else 0
+        v1, v2, v3, v4, v5 = t1[sl], t2[sl], t3[sl], t4[sl], t5[sl]
+        s_, b1, b2 = sel[sl], bb1[sl], bb2[sl]
+        np.subtract(b, c, out=v1)  # p - a
+        np.subtract(a, c, out=v2)  # p - b
+        np.add(v1, v2, out=v3)  # p - c
+        np.abs(v1, out=v4)
+        np.abs(v2, out=v5)
+        np.abs(v3, out=v3)
+        np.less_equal(v5, v3, out=b2)  # pb <= pc
+        np.copyto(s_, c)
+        np.copyto(s_, b, where=b2)
+        np.less_equal(v4, v5, out=b1)
+        np.less_equal(v4, v3, out=b2)
+        np.logical_and(b1, b2, out=b1)  # pa <= pb and pa <= pc
+        np.copyto(s_, a, where=b1)  # s_ = Paeth prediction
+        np.add(a, b, out=v2)
+        np.right_shift(v2, 1, out=v2)  # Average prediction
+        np.copyto(s_, v2, where=m3[sl])
+        np.copyto(s_, b, where=m2[sl])
+        np.copyto(s_, a, where=m1[sl])
+        np.copyto(s_, np.int16(0), where=m0[sl])
+        dst = osk[d][sl]
+        np.add(rsk[d][sl], s_, out=dst)
+        np.bitwise_and(dst, 255, out=dst)
+    out = osk[ci, yi]  # (H, w, k, C)
+    return out.transpose(2, 0, 1, 3).reshape(k, height, stride).astype(np.uint8)
+
+
+def _unfilter_image_wavefront(raw: np.ndarray, nch: int) -> np.ndarray:
+    """Single-image wavefront unfilter (stack of one)."""
+    return _unfilter_wavefront_stack(raw[None, :, :], nch)[0]
+
+
+def decode_png_batch(payloads: list[bytes]) -> list[np.ndarray]:
+    """Decode MANY PNGs — the multimodal operators' batch entry point.
+    Images whose filters include Average/Paeth are GROUPED BY SHAPE and
+    unfiltered through one shared wavefront per group (per-step vectors
+    k× wider, per-call numpy overhead amortized across the batch — the
+    real-web case, where libpng's adaptive default emits Average/Paeth
+    rows); everything else takes the per-image paths of
+    :func:`decode_png`. Equality with per-image decode is
+    property-tested."""
+    results: list[np.ndarray | None] = [None] * len(payloads)
+    groups: dict[tuple[int, int, int], list[tuple[int, np.ndarray, int, object]]] = {}
+    for i, data in enumerate(payloads):
+        width, height, nch, color_type, interlace, palette, raw = _parse_png(data)
+        stride = width * nch
+        if interlace != 0:
+            results[i] = decode_png(data)  # Adam7: per-image path
+            continue
+        if len(raw) != height * (stride + 1):
+            raise PngFormatError("decompressed size mismatch")
+        raw2 = raw.reshape(height, stride + 1)
+        if not (raw2[:, 0] >= 3).any():
+            out = _unfilter_image_rows(raw2, nch)
+            results[i] = _expand_palette(out.reshape(height, width, nch), color_type, palette)
+            continue
+        groups.setdefault((height, width, nch), []).append((i, raw2, color_type, palette))
+    for (height, width, nch), members in groups.items():
+        raw3 = np.stack([m[1] for m in members])
+        outs = _unfilter_wavefront_stack(raw3, nch)
+        for (i, _raw2, color_type, palette), out in zip(members, outs):
+            results[i] = _expand_palette(out.reshape(height, width, nch), color_type, palette)
+    return results
+
+
+def _expand_palette(px: np.ndarray, color_type: int, palette) -> np.ndarray:
+    if color_type != 3:
+        return px
+    if palette is None:
+        raise PngFormatError("palette image without PLTE")
+    return palette[px[:, :, 0]]
 
 
 def encode_png(arr: np.ndarray, filter_type: int = 0) -> bytes:

@@ -458,3 +458,95 @@ def test_zero_frame_avi_through_sampler(spark):
     df = spark.createDataFrame([("v0", bytearray(empty))], "id string, payload binary")
     rows = sample_video_frames(df, every_n=2).select("id", "frame_features").collect()
     assert rows[0]["frame_features"] == []
+
+
+def _filtered_png(rng, h, w, c, filter_seq):
+    """Build a PNG whose rows use the given repeating filter sequence
+    (spec-literal FORWARD filtering — independent of the encoder)."""
+    px = rng.randint(0, 256, size=(h, w, c)).astype(np.uint8)
+    flat = px.reshape(h, w * c).astype(np.int64)
+    raw = bytearray()
+    prev = [0] * (w * c)
+    for y in range(h):
+        f = filter_seq[y % len(filter_seq)]
+        raw.append(f)
+        row = list(flat[y])
+        enc = []
+        for x, v in enumerate(row):
+            a = row[x - c] if x >= c else 0
+            b = prev[x]
+            cc = prev[x - c] if x >= c else 0
+            if f == 0:
+                p = 0
+            elif f == 1:
+                p = a
+            elif f == 2:
+                p = b
+            elif f == 3:
+                p = (a + b) // 2
+            else:
+                q = a + b - cc
+                pa, pb, pc = abs(q - a), abs(q - b), abs(q - cc)
+                p = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            enc.append((v - p) & 0xFF)
+        raw.extend(enc)
+        prev = row
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _chunk(b"IEND", b""),
+        px,
+    )
+
+
+def test_wavefront_unfilter_matches_row_path():
+    """r6: the anti-diagonal wavefront unfilter must agree byte-exactly
+    with the r5 row-sequential path on every filter mix and shape."""
+    from hlld_spark.operators.codecs import _unfilter_image_rows, _unfilter_image_wavefront
+
+    rng = np.random.RandomState(17)
+    seqs = [[4], [3], [3, 4], [0, 1, 2, 3, 4], [4, 2], [1, 3, 4], [2]]
+    for i, (h, w, c) in enumerate(
+        [(1, 1, 1), (2, 3, 3), (9, 1, 4), (1, 40, 2), (23, 17, 3), (40, 40, 1), (8, 300, 3)]
+    ):
+        png, px = _filtered_png(rng, h, w, c, seqs[i % len(seqs)])
+        assert np.array_equal(decode_png(png), px), (h, w, c)
+        raw = np.frombuffer(
+            zlib.decompress(png[png.find(b"IDAT") + 4 : png.rfind(b"IEND") - 8]), np.uint8
+        ).reshape(h, w * c + 1)
+        assert np.array_equal(
+            _unfilter_image_wavefront(raw, c), _unfilter_image_rows(raw, c)
+        ), (h, w, c)
+
+
+def test_decode_png_batch_groups_and_isolates():
+    """decode_png_batch == per-image decode across mixed shapes,
+    channel counts, filters, palette and Adam7 members; a corrupt
+    member makes the batch raise, and the operator-level helper
+    isolates it to a None slot."""
+    from hlld_spark.operators.codecs import decode_png_batch
+    from hlld_spark.operators.multimodal import _decode_images
+
+    rng = np.random.RandomState(23)
+    payloads, truths = [], []
+    for i in range(24):
+        h, w = int(rng.randint(1, 30)), int(rng.randint(1, 30))
+        c = (1, 2, 3, 4)[i % 4]
+        seq = ([4], [3, 4], [0, 1, 2, 3, 4], [2])[i % 4]
+        png, px = _filtered_png(rng, h, w, c, seq)
+        payloads.append(png)
+        truths.append(px)
+    # duplicates of one shape so the same-shape wavefront grouping runs
+    payloads += payloads[:6]
+    truths += truths[:6]
+    outs = decode_png_batch(payloads)
+    assert all(np.array_equal(o, t) for o, t in zip(outs, truths))
+    # corrupt member: batch raises, operator helper yields None in place
+    bad = payloads[3][:40] + b"\x00\x00\x00\x00" + payloads[3][44:]
+    with pytest.raises(PngFormatError):
+        decode_png_batch([payloads[0], bad])
+    res = _decode_images([payloads[0], bad, payloads[1]])
+    assert np.array_equal(res[0], truths[0])
+    assert res[1] is None
+    assert np.array_equal(res[2], truths[1])
