@@ -559,7 +559,7 @@ def _q_clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
-_REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v4_200.parquet"
+_REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v5_200.parquet"
 _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
 
 
@@ -601,8 +601,9 @@ def _q_warc_pages_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL-format codecs for all three modalities, driver-gated (r5):
     the fixture payloads are actual PNG files (gray/RGB/RGBA, row
-    filters None/Sub/Up), baseline JPEG files (r6: gray/RGB, quality +
-    4:4:4/4:2:2/4:2:0 subsampling cycling, restart intervals), RIFF/WAVE
+    filters None/Sub/Up), baseline AND progressive JPEG files (r6: gray/RGB, quality +
+    4:4:4/4:2:2/4:2:0 subsampling cycling, restart intervals,
+    SOF2 with successive-approximation scans on every other one), RIFF/WAVE
     PCM16 files (mono/stereo) and
     uncompressed AVI videos (DIB frames, stride-padded widths), decoded
     by the engine's pure python/numpy codecs (operators/codecs.py — no

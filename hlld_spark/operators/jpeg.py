@@ -1,5 +1,6 @@
-"""Baseline JPEG codec — pure python/numpy, from the public spec
-(ITU-T T.81, baseline sequential DCT, 8-bit; JFIF color conventions).
+"""JPEG codec — pure python/numpy, from the public spec (ITU-T T.81,
+8-bit; JFIF color conventions): BASELINE sequential AND PROGRESSIVE
+(spectral selection + successive approximation).
 
 JPEG is the dominant image format in any real web crawl (VERDICT r5
 #3 — the one gap that kept the multimodal layer `partial`). The
@@ -17,15 +18,19 @@ Decoder (:func:`decode_jpeg`):
 * dequant + de-zigzag + IDCT are fully vectorized over ALL blocks of a
   component (one ``einsum`` against the orthonormal DCT-II basis)
 * sampling factors up to 2x2 (4:4:4, 4:2:2, 4:2:0), grayscale or
-  YCbCr, restart intervals; progressive (SOF2) and arithmetic coding
-  raise :class:`JpegFormatError` — honestly unsupported
+  YCbCr, restart intervals, interleaved and single-component scans
+* PROGRESSIVE (SOF2, r6): multi-scan walker with DC first/refinement
+  passes, AC first passes with EOB runs and AC refinement scans with
+  correction bits (T.81 Annex G); lossless/hierarchical/arithmetic
+  SOFs raise :class:`JpegFormatError` — honestly unsupported
 
-Encoder (:func:`encode_jpeg`): the exact inverse pipeline with the
-Annex K quantization/huffman tables (libjpeg-compatible quality
-scaling), used for deterministic fixtures — and as the independent leg
-of the exactness gate: the decoder must recover the encoder's
-quantized coefficients EXACTLY (pixels equal the direct
-dequant+IDCT pipeline computed without any entropy coding).
+Encoders (:func:`encode_jpeg`, :func:`encode_jpeg_progressive`): the
+exact inverse pipelines with the Annex K quantization/huffman tables
+(libjpeg-compatible quality scaling), used for deterministic fixtures
+— and as the independent leg of the exactness gate: the decoder must
+recover the encoder's quantized coefficients EXACTLY (pixels equal the
+direct dequant+IDCT pipeline computed without any entropy coding), for
+baseline and for the full progressive approximation-pass chain.
 
 The quantization and huffman tables below are the PUBLISHED example
 tables from ITU-T T.81 Annex K (K.1, K.2, K.3) — spec content, same
@@ -269,87 +274,68 @@ def _split_entropy(data: bytes, start: int) -> tuple[list[bytes], int]:
     return segs, pos
 
 
-def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline-sequential JPEG to (H, W, C) uint8 — C=1 for
-    grayscale, C=3 for YCbCr (converted to RGB per JFIF). Supports
-    sampling factors up to 2x2 (4:4:4 / 4:2:2 / 4:2:0) and restart
-    intervals; raises :class:`JpegFormatError` for progressive (SOF2),
-    arithmetic coding, 12-bit precision or >2x sampling."""
-    qtables: dict[int, np.ndarray] = {}
-    huffs: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
-    comps: list[tuple[int, int, int, int]] = []  # (id, H, V, Tq)
-    w = h = None
-    dri = 0
-    sos_off = None
-    scan_comps: list[tuple[int, int, int]] = []  # (comp_idx, Td, Ta)
+class _Reader:
+    """Bit reader for the (non-hot) progressive scan paths — the
+    baseline scan keeps its inlined-locals fast loop."""
 
-    for marker, off, ln in _parse_segments(data):
-        body = data[off : off + ln]
-        if marker == 0xDB:  # DQT
-            p = 0
-            while p < ln:
-                pq, tq = body[p] >> 4, body[p] & 15
-                if pq != 0:
-                    raise JpegFormatError("16-bit quant tables unsupported (baseline is 8)")
-                qtables[tq] = np.frombuffer(body[p + 1 : p + 65], dtype=np.uint8).astype(np.int64)
-                p += 65
-        elif marker == 0xC4:  # DHT
-            p = 0
-            while p < ln:
-                tc, th = body[p] >> 4, body[p] & 15
-                bits = list(body[p + 1 : p + 17])
-                nv = sum(bits)
-                vals = list(body[p + 17 : p + 17 + nv])
-                huffs[(tc, th)] = _huff_lut(bits, vals)
-                p += 17 + nv
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (both baseline-decodable)
-            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
-                raise JpegFormatError(f"unsupported precision {prec}")
-            for c in range(nc):
-                cid, hv, tq = struct.unpack(">BBB", body[6 + 3 * c : 9 + 3 * c])
-                comps.append((cid, hv >> 4, hv & 15, tq))
-        elif marker == 0xC2:
-            raise JpegFormatError("progressive JPEG (SOF2) unsupported — baseline only")
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            raise JpegFormatError(f"unsupported SOF marker 0xFF{marker:02X}")
-        elif marker == 0xDD:  # DRI
-            (dri,) = struct.unpack(">H", body[:2])
-        elif marker == 0xDA:  # SOS
-            ns = body[0]
-            for c in range(ns):
-                cid, tda = body[1 + 2 * c], body[2 + 2 * c]
-                idx = next(i for i, cc in enumerate(comps) if cc[0] == cid)
-                scan_comps.append((idx, tda >> 4, tda & 15))
-            sos_off = off + ln
+    __slots__ = ("win", "nbits", "p")
 
-    if w is None or sos_off is None:
-        raise JpegFormatError("missing SOF or SOS")
-    if any(c[1] > 2 or c[2] > 2 or c[1] < 1 or c[2] < 1 for c in comps):
-        raise JpegFormatError("sampling factors beyond 2x2 unsupported")
+    def __init__(self, seg: bytes):
+        self.win, self.nbits = _bit_window(seg)
+        self.p = 0
 
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
+    def huff(self, lut: list[int]) -> int:
+        e = lut[(self.win[self.p >> 3] >> (16 - (self.p & 7))) & 0xFFFF]
+        self.p += e & 0xFF
+        if e == 0 or self.p > self.nbits:
+            raise JpegFormatError("invalid huffman code in entropy stream")
+        return e >> 8
 
-    # zigzag-order coefficient store per component
-    coef = [
-        np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32) for c in comps
-    ]
-    segs, _after = _split_entropy(data, sos_off)
+    def receive(self, n: int) -> int:
+        if n == 0:
+            return 0
+        v = ((self.win[self.p >> 3] >> (16 - (self.p & 7))) & 0xFFFF) >> (16 - n)
+        self.p += n
+        if self.p > self.nbits:
+            raise JpegFormatError("entropy stream exhausted")
+        return v
+
+    def receive_extend(self, s: int) -> int:
+        v = self.receive(s)
+        if s == 0:
+            return 0
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def bit(self) -> int:
+        return self.receive(1)
+
+
+def _scan_grid(scan_comps, comps, w, h, hmax, vmax, mcux, mcuy):
+    """Traversal geometry per T.81: interleaved scans (Ns > 1) walk the
+    MCU grid with Hc x Vc blocks per component; single-component scans
+    walk that component's OWN ceil(size/8) block grid, one block per
+    step (the MCU padding columns/rows are NOT coded)."""
+    if len(scan_comps) > 1:
+        entries = [(ci, comps[ci][1], comps[ci][2]) for ci, _td, _ta in scan_comps]
+        return mcux, mcuy, entries
+    ci = scan_comps[0][0]
+    _cid, ch, cv, _tq = comps[ci]
+    bw = -(-(-(-w * ch // hmax)) // 8)
+    bh = -(-(-(-h * cv // vmax)) // 8)
+    return bw, bh, [(ci, 1, 1)]
+
+
+def _scan_baseline(segs, scan_comps, comps, coef, dri, gx, gy, entries, huffs):
+    """One baseline (sequential DCT) scan: the optimized inline loop."""
     win, nbits = _bit_window(segs[0])
     p = 0
     seg_i = 0
     pred = [0] * len(comps)
-    # pre-resolve the per-MCU work list: (ci, blocks-per-MCU geometry,
-    # huffman LUTs) — everything the hot loop touches is a local
     scan_tbl = [
-        (ci, comps[ci][1], comps[ci][2], huffs[(0, td)], huffs[(1, ta)], coef[ci])
-        for ci, td, ta in scan_comps
+        (ci, ch, cv, huffs[(0, td)], huffs[(1, ta)], coef[ci])
+        for (ci, ch, cv), (_ci2, td, ta) in zip(entries, scan_comps)
     ]
-    n_mcus = mcux * mcuy
-    for m in range(n_mcus):
+    for m in range(gx * gy):
         if dri and m and m % dri == 0:  # restart: next segment, reset DC
             seg_i += 1
             if seg_i >= len(segs):
@@ -357,7 +343,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             win, nbits = _bit_window(segs[seg_i])
             p = 0
             pred = [0] * len(comps)
-        my, mx = divmod(m, mcux)
+        my, mx = divmod(m, gx)
         for ci, ch, cv, dc_lut, ac_lut, arr in scan_tbl:
             base_y = my * cv
             base_x = mx * ch
@@ -399,6 +385,225 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             pred[ci] = dcp
         if p > nbits:
             raise JpegFormatError("entropy stream exhausted")
+
+
+def _refine_nonzero(rd: _Reader, block, k: int, se: int, p1: int, m1: int) -> None:
+    """Correction bits for already-nonzero coefficients in [k, se]
+    (T.81 G.1.2.3: the EOB-run / skip path of an AC refinement scan)."""
+    while k <= se:
+        c = int(block[k])
+        if c != 0 and rd.bit():
+            if (c & p1) == 0:
+                block[k] = c + (p1 if c > 0 else m1)
+        k += 1
+
+
+def _scan_progressive(segs, scan_comps, comps, coef, dri, gx, gy, entries,
+                      huffs, ss, se, ah, al):
+    """One progressive scan (T.81 Annex G): DC first/refine (optionally
+    interleaved), AC first with EOB runs, AC refinement with correction
+    bits. Restart intervals reset the DC predictors and the EOB run."""
+    rd = _Reader(segs[0])
+    seg_i = 0
+    pred = [0] * len(comps)
+    eobrun = 0
+    p1, m1 = 1 << al, -(1 << al)
+    if ss == 0 and se != 0:
+        raise JpegFormatError("DC scan must have Se = 0")
+    if ss != 0 and len(scan_comps) != 1:
+        raise JpegFormatError("AC progressive scan must be single-component")
+    for m in range(gx * gy):
+        if dri and m and m % dri == 0:
+            seg_i += 1
+            if seg_i >= len(segs):
+                raise JpegFormatError("missing restart segment")
+            rd = _Reader(segs[seg_i])
+            pred = [0] * len(comps)
+            eobrun = 0
+        my, mx = divmod(m, gx)
+        for (ci, ch, cv), (_ci2, td, ta) in zip(entries, scan_comps):
+            arr = coef[ci]
+            for v in range(cv):
+                for hh in range(ch):
+                    block = arr[my * cv + v, mx * ch + hh]
+                    if ss == 0:
+                        if ah == 0:  # DC first: diff in the Al-shifted domain
+                            t = rd.huff(huffs[(0, td)])
+                            if t > 15:
+                                raise JpegFormatError("invalid DC category")
+                            pred[ci] += rd.receive_extend(t)
+                            block[0] = pred[ci] << al
+                        else:  # DC refinement: one bit per block
+                            if rd.bit():
+                                block[0] = int(block[0]) | p1
+                        continue
+                    ac_lut = huffs[(1, ta)]
+                    if ah == 0:  # AC first pass (with point transform Al)
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            rs = rd.huff(ac_lut)
+                            r, s = rs >> 4, rs & 15
+                            if s == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += rd.receive(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise JpegFormatError("AC run past band end")
+                            block[k] = rd.receive_extend(s) << al
+                            k += 1
+                    else:  # AC refinement (G.1.2.3)
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                rs = rd.huff(ac_lut)
+                                r, s = rs >> 4, rs & 15
+                                newval = 0
+                                if s == 0:
+                                    if r != 15:  # EOBn: run starts at this block
+                                        eobrun = 1 << r
+                                        if r:
+                                            eobrun += rd.receive(r)
+                                        break
+                                    # r == 15: ZRL — skip 16 zero-history coefs
+                                else:
+                                    if s != 1:
+                                        raise JpegFormatError(
+                                            "refinement scan symbol with s > 1"
+                                        )
+                                    newval = p1 if rd.bit() else m1
+                                while k <= se:
+                                    c = int(block[k])
+                                    if c != 0:
+                                        if rd.bit() and (c & p1) == 0:
+                                            block[k] = c + (p1 if c > 0 else m1)
+                                    else:
+                                        if r == 0:
+                                            if newval:
+                                                block[k] = newval
+                                            k += 1
+                                            break
+                                        r -= 1
+                                    k += 1
+                        if eobrun > 0:
+                            _refine_nonzero(rd, block, k, se, p1, m1)
+                            eobrun -= 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a JPEG to (H, W, C) uint8 — C=1 for grayscale, C=3 for
+    YCbCr (converted to RGB per JFIF). Supports BASELINE sequential
+    (SOF0/1) and PROGRESSIVE (SOF2, spectral selection + successive
+    approximation — r6), sampling factors up to 2x2 (4:4:4 / 4:2:2 /
+    4:2:0), interleaved and single-component scans, and restart
+    intervals; raises :class:`JpegFormatError` for lossless/arithmetic
+    SOFs, 12-bit precision or >2x sampling."""
+    if data[:2] != JPEG_MAGIC:
+        raise JpegFormatError("not a JPEG (missing SOI)")
+    qtables: dict[int, np.ndarray] = {}
+    huffs: dict[tuple[int, int], list[int]] = {}
+    comps: list[tuple[int, int, int, int]] = []  # (id, H, V, Tq)
+    w = h = None
+    dri = 0
+    progressive = False
+    coef: list[np.ndarray] | None = None
+    hmax = vmax = mcux = mcuy = 0
+    pos = 2
+    n = len(data)
+    saw_scan = False
+    while pos + 2 <= n:
+        if data[pos] != 0xFF:
+            raise JpegFormatError(f"expected marker at offset {pos}")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / stray RSTn
+            pos += 2
+            continue
+        if pos + 4 > n:
+            raise JpegFormatError("truncated marker segment header")
+        (seg_len,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        if seg_len < 2 or pos + 2 + seg_len > n:
+            raise JpegFormatError(f"truncated segment 0xFF{marker:02X}")
+        off, ln = pos + 4, seg_len - 2
+        body = data[off : off + ln]
+        if marker == 0xDB:  # DQT
+            q = 0
+            while q < ln:
+                pq, tq = body[q] >> 4, body[q] & 15
+                if pq != 0:
+                    raise JpegFormatError("16-bit quant tables unsupported (baseline is 8)")
+                qtables[tq] = np.frombuffer(body[q + 1 : q + 65], dtype=np.uint8).astype(np.int64)
+                q += 65
+        elif marker == 0xC4:  # DHT
+            q = 0
+            while q < ln:
+                tc, th = body[q] >> 4, body[q] & 15
+                bits = list(body[q + 1 : q + 17])
+                nv = sum(bits)
+                vals = list(body[q + 17 : q + 17 + nv])
+                huffs[(tc, th)] = _huff_lut(bits, vals)
+                q += 17 + nv
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 progressive
+            progressive = marker == 0xC2
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise JpegFormatError(f"unsupported precision {prec}")
+            for c in range(nc):
+                cid, hv, tq = struct.unpack(">BBB", body[6 + 3 * c : 9 + 3 * c])
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            if any(c[1] > 2 or c[2] > 2 or c[1] < 1 or c[2] < 1 for c in comps):
+                raise JpegFormatError("sampling factors beyond 2x2 unsupported")
+            hmax = max(c[1] for c in comps)
+            vmax = max(c[2] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # zigzag-order coefficient store per component
+            coef = [np.zeros((mcuy * c[2], mcux * c[1], 64), dtype=np.int32) for c in comps]
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegFormatError(f"unsupported SOF marker 0xFF{marker:02X}")
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS
+            if coef is None:
+                raise JpegFormatError("missing SOF or SOS")
+            ns = body[0]
+            scan_comps = []
+            for c in range(ns):
+                cid, tda = body[1 + 2 * c], body[2 + 2 * c]
+                idx = next(
+                    (i for i, cc in enumerate(comps) if cc[0] == cid), None
+                )
+                if idx is None:
+                    raise JpegFormatError(f"scan references unknown component {cid}")
+                scan_comps.append((idx, tda >> 4, tda & 15))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 15
+            segs, pos = _split_entropy(data, off + ln)
+            gx, gy, entries = _scan_grid(scan_comps, comps, w, h, hmax, vmax, mcux, mcuy)
+            if progressive:
+                _scan_progressive(
+                    segs, scan_comps, comps, coef, dri, gx, gy, entries,
+                    huffs, ss, se, ah, al,
+                )
+            else:
+                if ss != 0 or se != 63 or ah != 0 or al != 0:
+                    raise JpegFormatError("baseline scan must cover the full band")
+                _scan_baseline(segs, scan_comps, comps, coef, dri, gx, gy, entries, huffs)
+            saw_scan = True
+            continue  # pos already advanced past the entropy data
+        pos += 2 + seg_len
+
+    if coef is None or not saw_scan:
+        raise JpegFormatError("missing SOF or SOS")
 
     # dequant + de-zigzag + IDCT, vectorized across every block at once
     out_planes = []
@@ -683,6 +888,224 @@ def encode_jpeg(
                         wtr, coefs[ci][my * cv + v, mx * ch + hh], pred[ci], dc, ac
                     )
     out += wtr.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    arr: np.ndarray,
+    quality: int = 85,
+    subsampling: str = "4:4:4",
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode as a PROGRESSIVE (SOF2) JFIF JPEG — spectral selection
+    AND successive approximation (T.81 Annex G), the shape real web
+    encoders emit. The scan script mirrors a typical libjpeg
+    progression: interleaved DC first pass (Al=1) + DC refinement; AC
+    first passes per band with point transforms, then refinement scans
+    down to Al=0. EOB runs are restricted to EOB0 (run of one) so the
+    published Annex K huffman tables suffice — a valid, slightly less
+    compact stream any conforming decoder accepts. Deterministic.
+
+    Exactness: all approximation passes together carry every bit, so
+    ``decode_jpeg(encode_jpeg_progressive(x))`` must reproduce the
+    SAME quantized coefficients as the baseline pipeline — pixel-equal
+    to ``dequant_idct_reference(quantized_planes(x))`` (tested)."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    gray = c == 1
+    coefs, _qs, samp = quantized_planes(arr, quality, "4:4:4" if gray else subsampling)
+    ncomp = 1 if gray else 3
+    hmax = max(s[0] for s in samp[:ncomp])
+    vmax = max(s[1] for s in samp[:ncomp])
+    mcux = coefs[0].shape[1] // samp[0][0]
+    mcuy = coefs[0].shape[0] // samp[0][1]
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    q_l = _scaled_quant(QUANT_LUMA, quality)[ZIGZAG]
+    out = bytearray(JPEG_MAGIC)
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, b"\x00" + bytes(int(x) for x in q_l))
+    if not gray:
+        q_c = _scaled_quant(QUANT_CHROMA, quality)[ZIGZAG]
+        out += seg(0xDB, b"\x01" + bytes(int(x) for x in q_c))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for i, (ch, cv) in enumerate(samp[:ncomp]):
+        sof += struct.pack(">BBB", i + 1, (ch << 4) | cv, 0 if i == 0 else 1)
+    out += seg(0xC2, sof)  # SOF2: progressive
+
+    def dht(tc: int, th: int, bits: list[int], vals: list[int]) -> bytes:
+        return seg(0xC4, bytes([(tc << 4) | th] + bits + vals))
+
+    out += dht(0, 0, DC_LUMA_BITS, DC_LUMA_VALS)
+    out += dht(1, 0, AC_LUMA_BITS, AC_LUMA_VALS)
+    if not gray:
+        out += dht(0, 1, DC_CHROMA_BITS, DC_CHROMA_VALS)
+        out += dht(1, 1, AC_CHROMA_BITS, AC_CHROMA_VALS)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+
+    dc_codes = [_huff_codes(DC_LUMA_BITS, DC_LUMA_VALS)] + [
+        _huff_codes(DC_CHROMA_BITS, DC_CHROMA_VALS)
+    ] * (ncomp - 1)
+    ac_codes = [_huff_codes(AC_LUMA_BITS, AC_LUMA_VALS)] + [
+        _huff_codes(AC_CHROMA_BITS, AC_CHROMA_VALS)
+    ] * (ncomp - 1)
+
+    def scan_header(comp_list: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+        sos = bytes([len(comp_list)])
+        for ci in comp_list:
+            sos += bytes([ci + 1, 0x00 if ci == 0 else 0x11])
+        sos += bytes([ss, se, (ah << 4) | al])
+        return seg(0xDA, sos)
+
+    def comp_grid(ci: int) -> tuple[int, int]:
+        ch, cv = samp[ci]
+        return -(-(-(-w * ch // hmax)) // 8), -(-(-(-h * cv // vmax)) // 8)
+
+    class _ScanWriter:
+        """Shared restart/flush plumbing for one scan's entropy data."""
+
+        def __init__(self):
+            self.wtr = _BitWriter()
+            self.rst = 0
+            self.parts: list[bytes] = []
+
+        def restart(self) -> None:
+            self.parts.append(self.wtr.flush())
+            self.parts.append(bytes([0xFF, 0xD0 + (self.rst % 8)]))
+            self.rst += 1
+            self.wtr = _BitWriter()
+
+        def done(self) -> bytes:
+            self.parts.append(self.wtr.flush())
+            return b"".join(self.parts)
+
+    def dc_scan(ah: int, al: int) -> bytes:
+        sw = _ScanWriter()
+        pred = [0] * ncomp
+        for m in range(mcuy * mcux):
+            if restart_interval and m and m % restart_interval == 0:
+                sw.restart()
+                pred = [0] * ncomp
+            my, mx = divmod(m, mcux)
+            for ci in range(ncomp):
+                ch, cv = samp[ci]
+                for v in range(cv):
+                    for hh in range(ch):
+                        dc = int(coefs[ci][my * cv + v, mx * ch + hh][0])
+                        if ah == 0:  # first pass in the Al-shifted domain
+                            t = dc >> al
+                            diff = t - pred[ci]
+                            pred[ci] = t
+                            s = abs(diff).bit_length()
+                            code, ln = dc_codes[ci][s]
+                            sw.wtr.put(code, ln)
+                            if s:
+                                sw.wtr.put(diff if diff >= 0 else diff + (1 << s) - 1, s)
+                        else:  # refinement: the Al-th bit, arithmetic shift
+                            sw.wtr.put((dc >> al) & 1, 1)
+        return sw.done()
+
+    def ac_first_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        sw = _ScanWriter()
+        ac = ac_codes[ci]
+        bw, bh = comp_grid(ci)
+        for m in range(bw * bh):
+            if restart_interval and m and m % restart_interval == 0:
+                sw.restart()
+            by, bx = divmod(m, bw)
+            zz = coefs[ci][by, bx]
+            r = 0
+            for k in range(ss, se + 1):
+                v = int(zz[k])
+                t = abs(v) >> al  # AC point transform truncates toward zero
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    code, ln = ac[0xF0]
+                    sw.wtr.put(code, ln)
+                    r -= 16
+                s = t.bit_length()
+                code, ln = ac[(r << 4) | s]
+                sw.wtr.put(code, ln)
+                v2 = t if v > 0 else -t
+                sw.wtr.put(v2 if v2 >= 0 else v2 + (1 << s) - 1, s)
+                r = 0
+            if r > 0:  # EOB0 only: no cross-block EOB runs
+                code, ln = ac[0x00]
+                sw.wtr.put(code, ln)
+        return sw.done()
+
+    def ac_refine_scan(ci: int, ss: int, se: int, al: int) -> bytes:
+        sw = _ScanWriter()
+        ac = ac_codes[ci]
+        bw, bh = comp_grid(ci)
+
+        def flush_bits(bits: list[int]) -> None:
+            for bit in bits:
+                sw.wtr.put(bit, 1)
+            bits.clear()
+
+        for m in range(bw * bh):
+            if restart_interval and m and m % restart_interval == 0:
+                sw.restart()
+            by, bx = divmod(m, bw)
+            zz = coefs[ci][by, bx]
+            t = [abs(int(zz[k])) >> al for k in range(se + 1)]
+            newly = [k for k in range(ss, se + 1) if t[k] == 1]
+            eob_k = newly[-1] if newly else ss - 1
+            r = 0
+            bebuf: list[int] = []
+            for k in range(ss, se + 1):
+                tk = t[k]
+                if tk == 0:
+                    r += 1
+                    continue
+                # ZRLs only before the last newly-nonzero coef; trailing
+                # zero-history folds into the EOB
+                while r > 15 and k <= eob_k:
+                    code, ln = ac[0xF0]
+                    sw.wtr.put(code, ln)
+                    r -= 16
+                    flush_bits(bebuf)
+                if tk > 1:  # previously nonzero: buffer the correction bit
+                    bebuf.append(tk & 1)
+                    continue
+                code, ln = ac[(r << 4) | 1]
+                sw.wtr.put(code, ln)
+                r = 0
+                sw.wtr.put(1 if int(zz[k]) > 0 else 0, 1)  # sign of the new coef
+                flush_bits(bebuf)
+            if r > 0 or bebuf:  # EOB0 + the bits the decoder reads during it
+                code, ln = ac[0x00]
+                sw.wtr.put(code, ln)
+                flush_bits(bebuf)
+        return sw.done()
+
+    all_comps = list(range(ncomp))
+    out += scan_header(all_comps, 0, 0, 0, 1) + dc_scan(0, 1)
+    if gray:
+        out += scan_header([0], 1, 63, 0, 1) + ac_first_scan(0, 1, 63, 1)
+        out += scan_header(all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
+        out += scan_header([0], 1, 63, 1, 0) + ac_refine_scan(0, 1, 63, 0)
+    else:
+        out += scan_header([0], 1, 5, 0, 2) + ac_first_scan(0, 1, 5, 2)
+        out += scan_header([1], 1, 63, 0, 1) + ac_first_scan(1, 1, 63, 1)
+        out += scan_header([2], 1, 63, 0, 1) + ac_first_scan(2, 1, 63, 1)
+        out += scan_header([0], 6, 63, 0, 2) + ac_first_scan(0, 6, 63, 2)
+        out += scan_header(all_comps, 0, 0, 1, 0) + dc_scan(1, 0)
+        out += scan_header([0], 1, 5, 2, 1) + ac_refine_scan(0, 1, 5, 1)
+        out += scan_header([0], 6, 63, 2, 1) + ac_refine_scan(0, 6, 63, 1)
+        out += scan_header([1], 1, 63, 1, 0) + ac_refine_scan(1, 1, 63, 0)
+        out += scan_header([2], 1, 63, 1, 0) + ac_refine_scan(2, 1, 63, 0)
+        out += scan_header([0], 1, 5, 1, 0) + ac_refine_scan(0, 1, 5, 0)
+        out += scan_header([0], 6, 63, 1, 0) + ac_refine_scan(0, 6, 63, 0)
     out += b"\xff\xd9"
     return bytes(out)
 

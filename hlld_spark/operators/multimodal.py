@@ -6,8 +6,7 @@ parsing, Arrow-batched UDF signatures, partition-friendly batch shapes.
 Codecs: **PNG, WAV, uncompressed AVI (r5) and baseline JPEG (r6)
 decode for REAL** — pure python/numpy implementations from the public
 specs (``operators/codecs.py``, ``operators/jpeg.py``; PNG is zlib +
-row filters, WAV/AVI are RIFF containers, JPEG is huffman + IDCT per
-ITU-T T.81; none needs PIL/ffmpeg). parse_metadata reads PNG IHDR /
+row filters, WAV/AVI are RIFF containers, JPEG — baseline AND progressive — is huffman + IDCT per ITU-T T.81; none needs PIL/ffmpeg). parse_metadata reads PNG IHDR /
 JPEG SOF / WAV fmt+data / AVI avih HEADERS without inflating pixel or
 sample data; extract_image_features / resize_images accept PNG and
 JPEG payloads; sample_audio_frames accepts WAV; sample_video_frames
@@ -219,9 +218,16 @@ def _gen_real_asset(i: int, seed: int) -> dict:
         ss = ("4:4:4", "4:2:0", "4:2:2")[(i // 4) % 3] if c == 3 else "4:4:4"
         dri = 3 if (i // 4) % 3 == 1 else 0
         body = np.frombuffer(_det_bytes(i, w * h * c, seed), dtype=np.uint8).reshape(h, w, c)
-        from .jpeg import encode_jpeg as _ej
+        # every other JPEG asset is PROGRESSIVE (SOF2, r6) — identical
+        # quantized coefficients, so the same ground truth applies
+        if (i // 4) % 2 == 1:
+            from .jpeg import encode_jpeg_progressive as _ej
 
-        payload = _ej(body, quality, ss, restart_interval=dri)
+            payload = _ej(body, quality, ss, restart_interval=dri)
+        else:
+            from .jpeg import encode_jpeg as _ej
+
+            payload = _ej(body, quality, ss, restart_interval=dri)
         coefs, qs, samp = quantized_planes(body, quality, ss)
         truth_px = dequant_idct_reference(coefs, qs, samp, w, h, c == 1)
         ys = (np.arange(4) * h // 4).clip(0, h - 1)

@@ -131,11 +131,17 @@ def test_header_parse_and_errors():
         decode_jpeg(b[:30])  # cut mid-DQT
     with pytest.raises(JpegFormatError, match="missing SOF"):
         decode_jpeg(b[:20])  # SOI + APP0 only
-    # flip SOF0 -> SOF2: progressive must be an explicit unsupported error
+    # flip SOF0 -> SOF2: a BASELINE full-band interleaved scan is not a
+    # legal progressive scan — must raise, not misdecode (progressive
+    # proper is supported as of r6; see the SOF2 tests below)
     sof_at = b.find(b"\xff\xc0")
     prog = b[:sof_at + 1] + b"\xc2" + b[sof_at + 2 :]
-    with pytest.raises(JpegFormatError, match="progressive"):
+    with pytest.raises(JpegFormatError):
         decode_jpeg(prog)
+    # lossless SOF3 stays an explicit unsupported error
+    sof3 = b[:sof_at + 1] + b"\xc3" + b[sof_at + 2 :]
+    with pytest.raises(JpegFormatError, match="unsupported SOF"):
+        decode_jpeg(sof3)
     # corrupt the entropy stream: must raise, not loop or crash
     with pytest.raises(JpegFormatError):
         decode_jpeg(b[:-10] + b"\x00" * 8 + b"\xff\xd9")
@@ -159,14 +165,22 @@ def test_spark_multimodal_jpeg_integration(spark):
         resize_images,
     )
 
+    from hlld_spark.operators.jpeg import encode_jpeg_progressive
+
     rng = np.random.default_rng(12)
     img = rng.integers(0, 256, (21, 17, 3), dtype=np.uint8)
     payload = encode_jpeg(img, 85, "4:2:0")
     truncated = payload[:30]  # header unparseable -> kind unknown
     sof_at = payload.find(b"\xff\xc0")
-    progressive = payload[: sof_at + 1] + b"\xc2" + payload[sof_at + 2 :]
+    mislabeled = payload[: sof_at + 1] + b"\xc2" + payload[sof_at + 2 :]
+    progressive = encode_jpeg_progressive(img, 85, "4:2:0")
     df = spark.createDataFrame(
-        [(0, bytearray(payload)), (1, bytearray(truncated)), (2, bytearray(progressive))],
+        [
+            (0, bytearray(payload)),
+            (1, bytearray(truncated)),
+            (2, bytearray(mislabeled)),
+            (3, bytearray(progressive)),
+        ],
         "asset_id long, payload binary",
     )
     md = {r["asset_id"]: r["meta"] for r in parse_metadata(df).collect()}
@@ -175,13 +189,113 @@ def test_spark_multimodal_jpeg_integration(spark):
     )
     assert md[1]["kind"] == "unknown"
     assert md[2]["kind"] == "image"  # SOF2 dims are header-readable...
+    assert (md[3]["kind"], md[3]["width"], md[3]["height"]) == ("image", 17, 21)
     feats = {r["asset_id"]: r["features"] for r in extract_image_features(df).collect()}
     truth = decode_jpeg(payload).astype(np.float64)
     want = [round(float(x), 6) for x in np.concatenate([truth.mean(axis=(0, 1)), truth.std(axis=(0, 1))])]
     assert feats[0] == want
     assert feats[1] is None
-    assert feats[2] is None  # ...but progressive decode is unsupported -> NULL
+    assert feats[2] is None  # ...but a mislabeled baseline stream is corrupt -> NULL
+    assert feats[3] == want  # REAL progressive decodes to the same pixels (r6)
     rs = {r["asset_id"]: r["resized"] for r in resize_images(df, 4, 4).collect()}
     assert bytes(rs[0])[:2] == b"\xff\xd8"  # JPEG in -> JPEG out
     assert parse_jpeg_header(bytes(rs[0])) == (4, 4, 3)
     assert rs[1] is None
+
+
+# ---------------------------------------------------------------------------
+# progressive (SOF2) — r6
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("ss", ["4:4:4", "4:2:2", "4:2:0"])
+def test_progressive_entropy_coding_is_exact(ss):
+    """All spectral-selection + successive-approximation passes together
+    carry every coefficient bit: progressive decode must equal the
+    direct (no-entropy-coding) pipeline pixel-for-pixel."""
+    from hlld_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (37, 46, 3), dtype=np.uint8)
+    coefs, qs, samp = quantized_planes(img, 80, ss)
+    truth = dequant_idct_reference(coefs, qs, samp, 46, 37, False)
+    out = decode_jpeg(encode_jpeg_progressive(img, 80, ss))
+    assert np.array_equal(out, truth)
+
+
+def test_progressive_gray_restarts_and_equivalence_to_baseline():
+    from hlld_spark.operators.jpeg import encode_jpeg_progressive
+
+    rng = np.random.default_rng(33)
+    g = rng.integers(0, 256, (19, 26), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(g, 85))
+    for dri in (0, 1, 3):
+        prog = decode_jpeg(encode_jpeg_progressive(g, 85, restart_interval=dri))
+        # same quantized coefficients -> identical pixels either way
+        assert np.array_equal(prog, base), dri
+    img = rng.integers(0, 256, (24, 40, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 80, "4:2:0"))
+    for dri in (2, 5):
+        prog = decode_jpeg(encode_jpeg_progressive(img, 80, "4:2:0", restart_interval=dri))
+        assert np.array_equal(prog, base), dri
+
+
+def test_progressive_eob_run_spans_blocks():
+    """Hand-crafted stream with a REAL EOBn (run > 1) — our encoder is
+    EOB0-only, so this pins the decoder's cross-block run handling
+    independently. Gray 8x32: 4 blocks; block 0 sets coef[1]=+1 then
+    EOB1(+ext 1) ends blocks 1 and 2; block 3 sets coef[1]=+1."""
+    import struct as st
+
+    from hlld_spark.operators.jpeg import _BitWriter, _huff_codes
+
+    def seg(marker, body):
+        return st.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    # quant table: all ones (zigzag order)
+    dqt = seg(0xDB, b"\x00" + bytes([1] * 64))
+    sof = seg(0xC2, st.pack(">BHHB", 8, 8, 32, 1) + bytes([1, 0x11, 0]))
+    # DC table: standard luma; AC table: two 2-bit codes {EOB1=0x10, 0x01}
+    dc_bits, dc_vals = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12))
+    ac_bits, ac_vals = [0, 2] + [0] * 14, [0x10, 0x01]
+    dht = seg(0xC4, bytes([0x00] + dc_bits + dc_vals)) + seg(
+        0xC4, bytes([0x10] + ac_bits + ac_vals)
+    )
+    dc_codes = _huff_codes(dc_bits, dc_vals)
+    ac_codes = _huff_codes(ac_bits, ac_vals)
+    # scan 1: DC first pass, Al=0 — four zero diffs
+    w1 = _BitWriter()
+    for _ in range(4):
+        w1.put(*dc_codes[0])
+    scan1 = seg(0xDA, bytes([1, 1, 0x00, 0, 0, 0x00])) + w1.flush()
+    # scan 2: AC 1-63 first pass, Al=0
+    w2 = _BitWriter()
+    w2.put(*ac_codes[0x01])  # block 0: r=0, s=1 at k=1
+    w2.put(1, 1)  # value +1
+    w2.put(*ac_codes[0x10])  # EOB1 ...
+    w2.put(1, 1)  # ... + ext bit 1 -> eobrun = 2 (blocks 1 and 2)
+    w2.put(*ac_codes[0x01])  # block 3: coef[1] = +1
+    w2.put(1, 1)
+    w2.put(*ac_codes[0x10])  # trailing EOB (run past the end, ignored)
+    w2.put(0, 1)
+    scan2 = seg(0xDA, bytes([1, 1, 0x00, 1, 63, 0x00])) + w2.flush()
+    data = b"\xff\xd8" + dqt + sof + dht + scan1 + scan2 + b"\xff\xd9"
+    out = decode_jpeg(data)
+    assert out.shape == (8, 32, 1)
+    # expected: blocks 0 and 3 have zigzag coef[1]=1 (q=1), others zero
+    zz = np.zeros((1, 4, 64), dtype=np.int32)
+    zz[0, 0, 1] = 1
+    zz[0, 3, 1] = 1
+    want = dequant_idct_reference([zz], [np.ones(64, dtype=np.int64)], [(1, 1)], 32, 8, True)
+    assert np.array_equal(out, want)
+    # blocks 1 and 2 decode flat 128 (all-zero coefficients)
+    assert np.all(out[:, 8:24] == 128)
+
+
+def test_progressive_header_parse_and_metadata():
+    from hlld_spark.operators.jpeg import encode_jpeg_progressive
+
+    img = np.zeros((10, 12, 3), dtype=np.uint8)
+    b = encode_jpeg_progressive(img, 85, "4:2:0")
+    assert b[:2] == b"\xff\xd8" and b"\xff\xc2" in b[:200]
+    assert parse_jpeg_header(b) == (12, 10, 3)
