@@ -245,7 +245,12 @@ def read_warc(
     batch), independent of archive size — a 1 GB CC archive no longer
     costs ~6 GB of task heap."""
     files = spark.read.format("binaryFile").load(path).select("path")
+    return files.mapInPandas(
+        _make_warc_parser(record_types, batch_bytes), schema=WARC_PAGES_SCHEMA
+    )
 
+
+def _make_warc_parser(record_types: tuple[str, ...], batch_bytes: int):
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         urls: list = []
         tss: list = []
@@ -289,7 +294,41 @@ def read_warc(
         if urls or not emitted:
             yield flush()
 
-    return files.mapInPandas(parse, schema=WARC_PAGES_SCHEMA)
+    return parse
+
+
+#: binaryFile's fixed schema — Structured Streaming file sources require
+#: an explicit schema up front
+_BINARY_FILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def read_warc_stream(
+    spark: SparkSession,
+    path: str,
+    record_types: tuple[str, ...] = ("response",),
+    batch_bytes: int = 64 << 20,
+) -> DataFrame:
+    """STREAMING WARC ingestion: a Structured Streaming source over a
+    directory where crawl archives land — each micro-batch picks up the
+    newly arrived ``.warc(.gz)`` files (file-source checkpointing makes
+    ingestion exactly-once per archive across restarts) and parses them
+    through the SAME bounded-memory streaming parser as
+    :func:`read_warc`. Compose downstream with watermarked windowed
+    aggregations or the stateful sketch operators
+    (``streaming/sketch_stream.py``) for a continuously-updating
+    crawl-analytics job; finite backfills run with
+    ``trigger(availableNow=True)``."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARY_FILE_SCHEMA)
+        .load(path)
+        .select("path")
+    )
+    return files.mapInPandas(
+        _make_warc_parser(record_types, batch_bytes), schema=WARC_PAGES_SCHEMA
+    )
 
 
 def read_wet(spark: SparkSession, path: str) -> DataFrame:

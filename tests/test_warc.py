@@ -272,3 +272,50 @@ def test_fixture_ingest_counts_and_noise_skipped(spark, tmp_path):
     ).collect()[0]
     assert (agg["n"], agg["u"]) == (240, 239)
     assert pages.filter(F.col("url").contains("skip.me")).count() == 0
+
+
+@pytest.mark.spark
+def test_read_warc_stream_incremental(spark, tmp_path):
+    """Structured Streaming ingestion (r6): archives landing in a
+    directory are picked up exactly once per micro-batch; a second
+    availableNow round after a new archive arrives appends ONLY the new
+    pages (file-source checkpointing)."""
+    from pyspark.sql import functions as F
+
+    from hlld_spark.sources.warc import read_warc_stream
+
+    src = tmp_path / "landing"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    write_warc(str(src / "a.warc.gz"), _RECORDS[:2])
+
+    sink = str(tmp_path / "pages_out")
+
+    def run_round():
+        stream = read_warc_stream(spark, str(src))
+        assert stream.isStreaming
+        q = (
+            stream.select(
+                "url", F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host")
+            )
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+        return {r["url"] for r in spark.read.parquet(sink).collect()}
+
+    got1 = run_round()
+    assert got1 == {u for u, _, _ in _RECORDS[:2]}
+    write_warc(str(src / "b.warc.gz"), _RECORDS[2:])
+    got2 = run_round()
+    assert got2 == {u for u, _, _ in _RECORDS}
+    # batch and stream reads agree on the same directory
+    from hlld_spark.sources.warc import read_warc
+
+    batch = {r["url"] for r in read_warc(spark, str(src / "*.warc.gz")).collect()}
+    assert batch == got2
