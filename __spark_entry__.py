@@ -561,6 +561,40 @@ def _q_clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
 _REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v5_200.parquet"
 _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
+_URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
+
+
+def _q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + registrable-domain extraction (r6),
+    driver-gated with a TRULY independent oracle: the Spark side is the
+    pure-Catalyst column algebra of ``operators/urls.py``; the DuckDB
+    side REIMPLEMENTS the same documented rules (lower scheme/host,
+    strip userinfo + default ports + fragments + tracking params, sort
+    surviving params, '/' for the empty path, multi-part-suffix domain
+    cut) in SQL from the raw fixture URLs — two implementations, one
+    spec; any divergence hash-mismatches."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.urls import (
+        canonicalize_urls,
+        with_registrable_domain,
+        write_urls_fixture,
+    )
+
+    write_urls_fixture(_URLS_FIXTURE, 400)
+    raw = spark.read.parquet(_URLS_FIXTURE)
+    out = with_registrable_domain(
+        canonicalize_urls(raw, "raw_url"), "raw_url", out="domain"
+    )
+    return (
+        out.groupBy("domain")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.countDistinct("canonical_url").alias("n_canonical"),
+            F.min("canonical_url").alias("first_canonical"),
+            F.max("canonical_url").alias("last_canonical"),
+        )
+        .orderBy("domain")
+    )
 
 
 def _q_warc_pages_by_host(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -877,6 +911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clean_corpus_survivors": _q_clean_corpus_survivors,
         "multimodal_real_codecs": _q_multimodal_real_codecs,
         "warc_pages_by_host": _q_warc_pages_by_host,
+        "url_domain_stats": _q_url_domain_stats,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1090,6 +1125,56 @@ def oracle_sql() -> dict[str, str]:
                    resized_mean
             FROM read_parquet('{_REAL_ASSETS_FIXTURE}')
             ORDER BY asset_id
+        """,
+        "url_domain_stats": f"""
+            WITH parts AS (
+              SELECT raw_url,
+                lower(regexp_extract(raw_url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                regexp_replace(regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://([^/?#]+)', 1), '^.*@', '') AS auth,
+                regexp_extract(raw_url, '^[A-Za-z][A-Za-z0-9+.\\-]*://[^/?#]+([^?#]*)', 1) AS rawpath,
+                regexp_extract(raw_url, '\\?([^#]*)', 1) AS query
+              FROM read_parquet('{_URLS_FIXTURE}')
+            ), norm AS (
+              SELECT raw_url, scheme,
+                lower(regexp_extract(auth, '^([^:]*)', 1)) AS host,
+                regexp_extract(auth, ':(\\d+)$', 1) AS port,
+                CASE WHEN rawpath = '' THEN '/' ELSE rawpath END AS path,
+                array_to_string(list_sort(list_filter(string_split(query, '&'),
+                  p -> p <> '' AND NOT regexp_matches(p,
+                    '^(utm_[a-z]+|gclid|dclid|fbclid|msclkid|mc_eid|mc_cid|igshid|ref_src|ref_url|yclid|_ga|_gl|spm|si)='))), '&') AS q
+              FROM parts
+            ), canon AS (
+              SELECT raw_url, host,
+                CASE WHEN scheme IN ('http', 'https') THEN
+                  scheme || '://' || host ||
+                  CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                                             OR (scheme = 'https' AND port = '443'))
+                       THEN ':' || port ELSE '' END ||
+                  path || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                ELSE raw_url END AS canonical_url
+              FROM norm
+            ), dom AS (
+              SELECT canonical_url,
+                CASE
+                  WHEN regexp_matches(host, '^\\d+\\.\\d+\\.\\d+\\.\\d+$')
+                       OR len(string_split(host, '.')) <= 2 THEN host
+                  WHEN (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]) IN
+                       ('co.uk','org.uk','ac.uk','gov.uk','me.uk','com.au','net.au','org.au',
+                        'edu.au','gov.au','co.jp','ne.jp','or.jp','ac.jp','go.jp','com.br',
+                        'net.br','org.br','com.cn','net.cn','org.cn','gov.cn','com.mx',
+                        'com.ar','com.tr','com.sg','com.hk','com.tw','co.in','co.kr','co.za',
+                        'co.nz','co.id','co.il','co.th')
+                    THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+                         || '.' || string_split(host, '.')[-1]
+                  ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]
+                END AS domain
+              FROM canon
+            )
+            SELECT domain, COUNT(*) AS n_urls,
+                   COUNT(DISTINCT canonical_url) AS n_canonical,
+                   MIN(canonical_url) AS first_canonical,
+                   MAX(canonical_url) AS last_canonical
+            FROM dom GROUP BY domain ORDER BY domain
         """,
         "warc_pages_by_host": f"""
             SELECT host, COUNT(*) AS n_pages, COUNT(DISTINCT url) AS n_urls,
