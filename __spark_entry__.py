@@ -564,6 +564,42 @@ _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
 _URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
 
 
+def _q_pq_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (r6): encode the embeddings table to
+    8-byte PQ codes (32x compression of the 64-float vectors — the way
+    a 10^12-vector corpus fits in cluster RAM) and run an asymmetric-
+    distance top-10 batch search for 20 probe vectors drawn FROM the
+    table. A probe's own vector must appear in its top-10 (measured:
+    it is rank 1 at every SF, so the gate has a 9-slot margin);
+    violations must be the empty set — exact empty oracle. Codebooks
+    train on a deterministic bottom-k-by-hash sample, so the whole
+    query is reproducible."""
+    _ensure_shipped(spark)
+    import numpy as np
+
+    from hlld_spark.operators.similarity import (
+        fit_pq_codebooks,
+        pq_encode,
+        pq_topk_batch,
+    )
+
+    emb = _load(spark, sf_dir, "embeddings")
+    books = fit_pq_codebooks(emb, "embedding", m=8, sample=2048)
+    codes = pq_encode(emb, "vec_id", "embedding", books)
+    probes = emb.orderBy("vec_id").limit(20).collect()
+    qm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in probes])
+    res = pq_topk_batch(codes, "vec_id", qm, books, k=10).collect()
+    found: dict[int, set] = {}
+    for r in res:
+        found.setdefault(r["query_idx"], set()).add(r["vec_id"])
+    bad = [
+        (int(p["vec_id"]),)
+        for i, p in enumerate(probes)
+        if p["vec_id"] not in found.get(i, set())
+    ]
+    return spark.createDataFrame(bad, "vec_id long")
+
+
 def _q_url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization + registrable-domain extraction (r6),
     driver-gated with a TRULY independent oracle: the Spark side is the
@@ -912,6 +948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_real_codecs": _q_multimodal_real_codecs,
         "warc_pages_by_host": _q_warc_pages_by_host,
         "url_domain_stats": _q_url_domain_stats,
+        "pq_recall_violations": _q_pq_recall_violations,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1125,6 +1162,9 @@ def oracle_sql() -> dict[str, str]:
                    resized_mean
             FROM read_parquet('{_REAL_ASSETS_FIXTURE}')
             ORDER BY asset_id
+        """,
+        "pq_recall_violations": """
+            SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
         """,
         "url_domain_stats": f"""
             WITH parts AS (
