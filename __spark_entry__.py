@@ -559,9 +559,36 @@ def _q_clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
-_REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v5_200.parquet"
+_REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v6_200.parquet"
 _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
 _URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
+
+
+def _q_audio_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio spectrogram operator (r6) with an ANALYTIC oracle: the
+    fixture's sine audio assets carry a pure tone at an exact FFT-bin
+    frequency f = k*sr/256, so the time-averaged power spectrum's
+    argmax bin is k by construction — stored at generation, recomputed
+    here by the engine's framed Hann/rfft pipeline. Sine assets are
+    selected by id arithmetic (every other audio slot), not by peeking
+    at truth columns."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.multimodal import (
+        extract_audio_spectrogram,
+        write_real_assets_fixture,
+    )
+
+    write_real_assets_fixture(_REAL_ASSETS_FIXTURE, 200)
+    assets = spark.read.parquet(_REAL_ASSETS_FIXTURE).select("asset_id", "payload")
+    sines = assets.filter(
+        (F.col("asset_id") % 4 == 1) & (F.floor(F.col("asset_id") / 4) % 2 == 1)
+    )
+    out = extract_audio_spectrogram(sines)
+    return out.select(
+        "asset_id",
+        F.col("spectrogram_peak_bin").alias("peak_bin"),
+        F.size("spectrogram").alias("n_bins"),
+    ).orderBy("asset_id")
 
 
 def _q_pq_recall_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -949,6 +976,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_pages_by_host": _q_warc_pages_by_host,
         "url_domain_stats": _q_url_domain_stats,
         "pq_recall_violations": _q_pq_recall_violations,
+        "audio_spectral_peaks": _q_audio_spectral_peaks,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1165,6 +1193,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_recall_violations": """
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
+        """,
+        "audio_spectral_peaks": f"""
+            SELECT asset_id, spec_peak_bin AS peak_bin, CAST(129 AS INTEGER) AS n_bins
+            FROM read_parquet('{_REAL_ASSETS_FIXTURE}')
+            WHERE asset_id % 4 = 1 AND (asset_id // 4) % 2 = 1
+            ORDER BY asset_id
         """,
         "url_domain_stats": f"""
             WITH parts AS (

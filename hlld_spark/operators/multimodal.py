@@ -193,6 +193,7 @@ def _gen_real_asset(i: int, seed: int) -> dict:
         "width": None, "height": None, "channels": None,
         "sample_rate": None, "n_samples": None, "n_frames": None,
         "chan0_mean": None, "samp_sum": None, "resized_mean": None,
+        "spec_peak_bin": None,
     }
     if i % 4 == 0:
         w, h = 4 + r % 29, 4 + (r >> 8) % 29
@@ -245,9 +246,23 @@ def _gen_real_asset(i: int, seed: int) -> dict:
         )
     elif i % 4 == 1:
         sr = 8000 * (1 + (r >> 16) % 3)
-        ns = 32 + (r >> 24) % 200
-        ch = 1 + (i // 4) % 2
-        samples = np.frombuffer(_det_bytes(i, ns * ch * 2, seed), dtype="<i2").reshape(ns, ch)
+        if (i // 4) % 2 == 1:
+            # PURE SINE at an exact FFT-bin frequency f = k*sr/256 (r6):
+            # the spectrogram operator's peak bin is ANALYTICALLY k —
+            # ground truth that needs no FFT on the oracle side. Mono,
+            # long enough for several 256-sample frames.
+            ns = 512 + (r >> 24) % 256
+            k = 3 + (r >> 8) % 120
+            n = np.arange(ns, dtype=np.float64)
+            samples = np.round(20000.0 * np.sin(2.0 * np.pi * k * n / 256.0)).astype(
+                "<i2"
+            )[:, None]
+            row["spec_peak_bin"] = int(k)
+            ch = 1
+        else:
+            ns = 32 + (r >> 24) % 200
+            ch = 1 + (i // 4) % 2
+            samples = np.frombuffer(_det_bytes(i, ns * ch * 2, seed), dtype="<i2").reshape(ns, ch)
         # truth = exact integer sum of the every-4th channel-0 samples
         # (what sample_audio_frames emits) — no float rounding in play
         row.update(
@@ -295,6 +310,7 @@ def write_real_assets_fixture(path: str, n: int, seed: int = 42) -> str:
         "chan0_mean": pa.array([r["chan0_mean"] for r in rows], pa.float64()),
         "samp_sum": pa.array([r["samp_sum"] for r in rows], pa.int64()),
         "resized_mean": pa.array([r["resized_mean"] for r in rows], pa.float64()),
+        "spec_peak_bin": pa.array([r["spec_peak_bin"] for r in rows], pa.int32()),
     }
     os.makedirs(os.path.dirname(path), exist_ok=True)
     tmp = path + ".tmp"
@@ -672,6 +688,54 @@ def extract_audio_features(df: DataFrame, payload_col: str = "payload", out: str
             yield pdf
 
     return df.mapInPandas(feats, schema=schema)
+
+
+def extract_audio_spectrogram(
+    df: DataFrame,
+    payload_col: str = "payload",
+    out: str = "spectrogram",
+    n_fft: int = 256,
+    hop: int = 128,
+) -> DataFrame:
+    """Time-averaged log power spectrum over channel 0 (r6): frame →
+    Hann window → rfft → |.|² → mean over frames → log10, all
+    vectorized numpy inside the worker; a fixed (n_fft/2 + 1)-double
+    vector leaves, never raw samples. Adds ``<out>_peak_bin`` — the
+    argmax frequency bin — which for a pure sine at an exact bin
+    frequency f = k·sr/n_fft is ANALYTICALLY k (the driver gate's
+    ground truth needs no FFT on the oracle side). Clips shorter than
+    one frame, non-audio and corrupt payloads yield NULL."""
+    fields = list(df.schema.fields) + [
+        StructField(out, ArrayType(DoubleType()), True),
+        StructField(out + "_peak_bin", IntegerType(), True),
+    ]
+    schema = StructType(fields)
+    window = 0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)  # periodic Hann
+
+    def spec(batches):
+        for pdf in batches:
+            vals: list = []
+            peaks: list = []
+            for b in pdf[payload_col]:
+                b = bytes(b) if b is not None else b""
+                dec = _decode_audio(b)
+                if dec is None or len(dec[0]) < n_fft:
+                    vals.append(None)
+                    peaks.append(None)
+                    continue
+                x = dec[0].astype(np.float64) / 32768.0
+                n_frames = 1 + (len(x) - n_fft) // hop
+                idx = np.arange(n_fft)[None, :] + hop * np.arange(n_frames)[:, None]
+                frames = x[idx] * window[None, :]
+                power = (np.abs(np.fft.rfft(frames, axis=1)) ** 2).mean(axis=0)
+                vals.append([round(float(v), 6) for v in np.log10(power + 1e-12)])
+                peaks.append(int(power.argmax()))
+            pdf = pdf.copy()
+            pdf[out] = vals
+            pdf[out + "_peak_bin"] = pd.array(peaks, dtype="Int32")
+            yield pdf
+
+    return df.mapInPandas(spec, schema=schema)
 
 
 def sample_audio_frames(df: DataFrame, every_n: int = 4, payload_col: str = "payload", out: str = "frame_samples") -> DataFrame:

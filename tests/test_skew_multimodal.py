@@ -139,3 +139,51 @@ def test_video_kind_and_frame_sampling(spark, assets):
         assert len(r["frame_features"]) == (r["n_frames"] + 3) // 4
         for f in r["frame_features"]:
             assert 0 <= f <= 255
+
+
+def test_audio_spectrogram_analytic_peaks(spark):
+    """r6: a pure sine at exact-bin frequency k*sr/256 must put the
+    time-averaged power-spectrum argmax at bin k; clips shorter than
+    one frame and non-audio payloads yield NULL."""
+    import numpy as np
+
+    from hlld_spark.operators.codecs import encode_wav
+    from hlld_spark.operators.multimodal import extract_audio_spectrogram
+
+    sr = 16000
+    rows = []
+    for aid, k in ((0, 5), (1, 40), (2, 100)):
+        n = np.arange(1024, dtype=np.float64)
+        x = np.round(18000 * np.sin(2 * np.pi * k * n / 256.0)).astype("<i2")
+        rows.append((aid, bytearray(encode_wav(x, sr))))
+    rows.append((3, bytearray(encode_wav(np.zeros(64, dtype=np.int16), sr))))  # too short
+    rows.append((4, bytearray(b"not audio at all")))
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    got = {r["asset_id"]: r for r in extract_audio_spectrogram(df).collect()}
+    assert (got[0]["spectrogram_peak_bin"], got[1]["spectrogram_peak_bin"],
+            got[2]["spectrogram_peak_bin"]) == (5, 40, 100)
+    assert len(got[0]["spectrogram"]) == 129
+    # peak bin dominates its spectrum by orders of magnitude (log10 scale)
+    s = got[1]["spectrogram"]
+    assert s[40] > s[30] + 3 and s[40] > s[50] + 3
+    assert got[3]["spectrogram"] is None and got[3]["spectrogram_peak_bin"] is None
+    assert got[4]["spectrogram"] is None
+
+
+def test_audio_spectrogram_stereo_channel0(spark):
+    """Stereo WAV: the spectrogram reads channel 0 — a tone only in
+    channel 1 must NOT appear."""
+    import numpy as np
+
+    from hlld_spark.operators.codecs import encode_wav
+    from hlld_spark.operators.multimodal import extract_audio_spectrogram
+
+    n = np.arange(1024, dtype=np.float64)
+    ch0 = np.round(15000 * np.sin(2 * np.pi * 10 * n / 256.0))
+    ch1 = np.round(15000 * np.sin(2 * np.pi * 90 * n / 256.0))
+    stereo = np.stack([ch0, ch1], axis=1).astype("<i2")
+    df = spark.createDataFrame(
+        [(0, bytearray(encode_wav(stereo, 8000)))], "asset_id long, payload binary"
+    )
+    r = extract_audio_spectrogram(df).collect()[0]
+    assert r["spectrogram_peak_bin"] == 10
