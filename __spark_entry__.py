@@ -564,6 +564,20 @@ _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
 _URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
 
 
+def _q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (r6) over the documents table for the query
+    {hash, join, scan}, k1=1.2 b=0.75 — the Spark side is the filtered-
+    explode + broadcast-df plan of ``operators/ranking.py``; the DuckDB
+    oracle REIMPLEMENTS the same scoring formula in SQL (unnest + window
+    stats). Scores rounded to 4 places on both sides so float summation
+    order cannot flip a digit; ties broken by doc_id on both sides."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.ranking import bm25_search
+
+    docs = _load(spark, sf_dir, "documents")
+    return bm25_search(docs, "doc_id", "text", ["hash", "join", "scan"], k=10)
+
+
 def _q_audio_spectral_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio spectrogram operator (r6) with an ANALYTIC oracle: the
     fixture's sine audio assets carry a pure tone at an exact FFT-bin
@@ -977,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_domain_stats": _q_url_domain_stats,
         "pq_recall_violations": _q_pq_recall_violations,
         "audio_spectral_peaks": _q_audio_spectral_peaks,
+        "bm25_top_docs": _q_bm25_top_docs,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1193,6 +1208,32 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_recall_violations": """
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
+        """,
+        "bm25_top_docs": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), lens AS (
+              SELECT doc_id, len(t) AS dl, t FROM toks
+            ), stats AS (
+              SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens
+            ), hits AS (
+              SELECT doc_id, dl, unnest(t) AS term FROM lens
+            ), tf AS (
+              SELECT doc_id, dl, term, COUNT(*) AS tf FROM hits
+              WHERE term IN ('hash', 'join', 'scan')
+              GROUP BY doc_id, dl, term
+            ), dfq AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+            )
+            SELECT doc_id,
+                   ROUND(SUM(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                             * tf * 2.2
+                             / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+            FROM tf JOIN dfq USING (term) CROSS JOIN stats
+            GROUP BY doc_id
+            ORDER BY bm25 DESC, doc_id
+            LIMIT 10
         """,
         "audio_spectral_peaks": f"""
             SELECT asset_id, spec_peak_bin AS peak_bin, CAST(129 AS INTEGER) AS n_bins
