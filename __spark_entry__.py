@@ -564,6 +564,21 @@ _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
 _URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
 
 
+def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal (r6, the Lee et al. substring
+    dedup family relationally): per document, the count of character
+    positions whose 25-char substring occurs in ≥2 distinct docs. The
+    Spark side hashes every position's span-gram (one gram-scale
+    exchange, partitioning reused by both aggs and the join); the
+    DuckDB oracle materializes the literal substrings — so a kernel
+    off-by-one, boundary leak or sentinel slip hash-mismatches."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.dedup import duplicated_span_counts
+
+    docs = _load(spark, sf_dir, "documents")
+    return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
+
+
 def _q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (r6) over the documents table for the query
     {hash, join, scan}, k1=1.2 b=0.75 — the Spark side is the filtered-
@@ -992,6 +1007,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_recall_violations": _q_pq_recall_violations,
         "audio_spectral_peaks": _q_audio_spectral_peaks,
         "bm25_top_docs": _q_bm25_top_docs,
+        "duplicated_spans": _q_duplicated_spans,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1208,6 +1224,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "pq_recall_violations": """
             SELECT CAST(NULL AS BIGINT) AS vec_id WHERE 1 = 0
+        """,
+        "duplicated_spans": """
+            WITH w AS (
+              SELECT doc_id, substr(text, i, 25) AS g
+              FROM documents,
+                   LATERAL (SELECT UNNEST(range(1, length(text) - 25 + 2)) AS i)
+              WHERE length(text) >= 25
+            ), dup AS (
+              SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+            )
+            SELECT doc_id, COUNT(*) AS dup_positions
+            FROM w JOIN dup USING (g)
+            GROUP BY doc_id ORDER BY doc_id
         """,
         "bm25_top_docs": """
             WITH toks AS (

@@ -991,3 +991,76 @@ def embedding_cosine_dedup(
         .withColumn("keeper_id", F.coalesce(F.col("keeper_id"), F.col("id")))
         .withColumn("cosine", F.coalesce(F.col("cosine"), F.lit(1.0)))
     )
+
+
+def duplicated_span_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 50,
+    min_docs: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """Exact-substring duplication signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" family,
+    re-expressed relationally): for each document, the number of
+    character positions whose ``span``-char substring also occurs in at
+    least ``min_docs`` DISTINCT documents. High counts mark boilerplate
+    / mirrored passages that n-gram-Jaccard dedup keeps (the documents
+    differ globally) but substring dedup removes.
+
+    Spark-first shape instead of a suffix array: every position's
+    span-gram is hashed by the vectorized char-shingle kernel (64-bit —
+    cross-doc hash collisions are the documented approximation,
+    ~(total grams)²/2⁶⁴), the gram stream is repartitioned ONCE by
+    gram_hash, and the (gram, doc) aggregation, the docs-per-gram
+    aggregation and their join all reuse that partitioning — exactly
+    one gram-scale Exchange in the plan (asserted in tests). ``stride``
+    samples every stride-th position for the 100-TB budget knob (the
+    published method pays the same every-position cost via suffix
+    arrays); counts then approximate positions/stride."""
+    schema = StructType(
+        [df.schema[id_col], StructField("gram_hash", LongType(), False)]
+    )
+
+    def grams_fn(batches):
+        for pdf in batches:
+            h, offsets, lens = _char_shingle_hashes_with_lens(pdf[text_col], span)
+            if not len(h):
+                continue
+            counts = np.maximum(lens - span + 1, 0)
+            # drop short docs' whole-doc sentinel slot (no span-gram exists)
+            out_counts = np.where(lens < span, 1, counts)
+            starts = np.concatenate(([0], np.cumsum(out_counts)))[:-1]
+            keep = np.ones(len(h), dtype=bool)
+            keep[starts[lens < span]] = False
+            ids = np.repeat(pdf[id_col].to_numpy(), out_counts)[keep]
+            hh = h[keep]
+            if stride > 1:
+                # per-doc position sampling: positions (p % stride == 0)
+                pos = np.arange(len(hh)) - np.repeat(
+                    np.concatenate(([0], np.cumsum(counts)))[:-1][lens >= span],
+                    counts[lens >= span],
+                )
+                sel = pos % stride == 0
+                ids, hh = ids[sel], hh[sel]
+            yield pd.DataFrame({id_col: ids, "gram_hash": hh.astype(np.int64)})
+
+    from pyspark.sql import Window
+
+    grams = (
+        df.select(id_col, text_col)
+        .mapInPandas(grams_fn, schema=schema)
+        .repartition(F.col("gram_hash"))
+    )
+    # ONE pass over the gram stream: the (gram, doc) aggregation keeps
+    # the repartition's gram_hash clustering, so the docs-per-gram
+    # window runs without any further exchange (a join formulation
+    # would instantiate the gram stream twice — auto-aliased exprIds
+    # defeat exchange reuse)
+    per_doc = grams.groupBy("gram_hash", id_col).agg(F.count("*").alias("n_pos"))
+    w = Window.partitionBy("gram_hash")
+    flagged = per_doc.withColumn("nd", F.count("*").over(w)).filter(
+        F.col("nd") >= min_docs
+    )
+    return flagged.groupBy(id_col).agg(F.sum("n_pos").alias("dup_positions"))

@@ -904,3 +904,79 @@ def test_pq_rejects_bad_shapes(spark):
         fit_pq_codebooks(df, "embedding", m=8, sample=4)
     with _pt.raises(ValueError, match="matrix"):
         pq_topk_batch(df, "vec_id", np.zeros(30), np.zeros((8, 4, 4)))
+
+
+def test_duplicated_span_counts_hand_fixture(spark):
+    """r6 exact-substring signal: hand-checkable corpus — a 30-char
+    passage shared by docs 1 and 2 yields exactly (30 - span + 1)
+    duplicated positions each; doc 3 is clean; short docs contribute
+    nothing (no sentinel leakage)."""
+    from hlld_spark.operators.dedup import duplicated_span_counts
+
+    shared = "the quick brown fox jumps over"  # 30 chars
+    rows = [
+        (1, "AAAA " + shared + " tail one"),
+        (2, "BB " + shared + " other tail"),
+        (3, "completely unrelated text without repeats"),
+        (4, "tiny"),  # shorter than span
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["dup_positions"] for r in duplicated_span_counts(df, "doc_id", "text", span=25).collect()}
+    # the shared region INCLUDING its flanking spaces is 32 chars:
+    # 32 - 25 + 1 = 8 duplicated windows per doc
+    assert got == {1: 8, 2: 8}
+
+
+def test_duplicated_span_counts_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from hlld_spark.operators.dedup import duplicated_span_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: r["dup_positions"] for r in duplicated_span_counts(docs, "doc_id", "text", span=25).collect()}
+    want = dict(
+        duckdb.sql(
+            f"""
+        WITH w AS (
+          SELECT doc_id, substr(text, i, 25) AS g
+          FROM read_parquet('{sf_dir}/documents.parquet'),
+               LATERAL (SELECT UNNEST(range(1, length(text) - 25 + 2)) AS i)
+          WHERE length(text) >= 25
+        ), dup AS (SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2)
+        SELECT doc_id, COUNT(*) FROM w JOIN dup USING (g) GROUP BY doc_id"""
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_duplicated_span_single_gram_exchange(spark, sf_dir):
+    """Scale contract: the gram stream crosses exactly ONE exchange (the
+    explicit gram_hash repartition); both aggregations and the join
+    reuse that partitioning."""
+    from hlld_spark.operators.dedup import duplicated_span_counts
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = duplicated_span_counts(docs, "doc_id", "text", span=25)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("Initial Plan")[0]  # AQE prints the plan twice
+    assert final.count("Exchange hashpartitioning(gram_hash") == 1, final
+    # the docs-per-gram window reuses that partitioning: sort only
+    assert "Window" in final and final.count("Exchange") == 2, final
+
+
+def test_duplicated_span_stride_samples_positions(spark):
+    from hlld_spark.operators.dedup import duplicated_span_counts
+
+    shared = "x" * 10 + "the quick brown fox jumps over the lazy dog wall"
+    df = spark.createDataFrame(
+        [(1, shared), (2, shared)], "doc_id long, text string"
+    )
+    full = {r["doc_id"]: r["dup_positions"] for r in duplicated_span_counts(df, "doc_id", "text", span=20).collect()}
+    s3 = {r["doc_id"]: r["dup_positions"] for r in duplicated_span_counts(df, "doc_id", "text", span=20, stride=3).collect()}
+    n_pos = len(shared) - 20 + 1
+    assert full == {1: n_pos, 2: n_pos}
+    import math
+
+    assert s3 == {1: math.ceil(n_pos / 3), 2: math.ceil(n_pos / 3)}
