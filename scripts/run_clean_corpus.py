@@ -50,6 +50,13 @@ def main() -> None:
     )
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument(
+        "--canonicalize-urls",
+        action="store_true",
+        help="rewrite the id column to its canonical URL form before "
+        "dedup (strip tracking params / fragments / default ports, sort "
+        "params — operators/urls.py), collapsing refetch families",
+    )
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", default=None, help="metrics JSON path (default: <output>_metrics.json)")
     ap.add_argument("--near-dup", action="store_true", help="also MinHash-LSH near-dup dedup")
@@ -132,7 +139,7 @@ def main() -> None:
         args.near_dup_unit, args.near_dup_k, args.near_dup_threshold,
         args.eval_table, args.eval_text_col, args.decontaminate_n,
         args.decontaminate_unit, args.min_quality, args.max_dup_word_ratio,
-        args.langs, _input_fingerprint(args.input),
+        args.langs, args.canonicalize_urls, _input_fingerprint(args.input),
         _input_fingerprint(args.eval_table) if args.eval_table else None,
     ]
     run_sig = hashlib.sha256(json.dumps(sig_fields, default=str).encode()).hexdigest()[:16]
@@ -150,7 +157,8 @@ def main() -> None:
         )
 
     stage_order = (
-        ["exact_dedup"]
+        (["canonicalize_urls"] if args.canonicalize_urls else [])
+        + ["exact_dedup"]
         + (["near_dup_dedup"] if args.near_dup else [])
         + (["decontaminate"] if args.eval_table else [])
         + ["quality_filter"]
@@ -210,10 +218,26 @@ def main() -> None:
         docs = read_table(spark, args.input)
     docs = stage("input", docs)
 
+    # 0. URL canonicalization (optional): refetch families
+    # (utm params, fragments, default ports, scheme/host case) collapse
+    # to one id BEFORE content dedup
+    if args.canonicalize_urls:
+        from hlld_spark.operators.urls import canonical_url_col
+
+        run_stage(
+            "canonicalize_urls",
+            lambda d: d.withColumn(args.id_col, canonical_url_col(F.col(args.id_col))),
+            "tracking params/fragments/default ports stripped, params sorted",
+        )
+
     # 1. exact dedup — keeper = min id per content hash
     run_stage(
         "exact_dedup",
-        lambda d: dedup_exact(d, args.id_col, [args.text_col]),
+        # canonicalization makes refetches share an id: unique_ids=False
+        # keeps exactly one row per keeper id in that mode
+        lambda d: dedup_exact(
+            d, args.id_col, [args.text_col], unique_ids=not args.canonicalize_urls
+        ),
         "content-hash min-id keepers",
     )
 

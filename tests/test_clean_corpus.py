@@ -206,3 +206,38 @@ def test_pipeline_stage_checkpoint_resume(spark, tmp_path):
     m6 = run("clean6", extra=("--decontaminate-n", "7"))
     assert not any("resumed" in s["note"] for s in m6["stages"])
     assert m6["stages"][0]["rows"] == 2
+
+
+@pytest.mark.spark
+def test_pipeline_canonicalize_urls_collapses_refetches(spark, tmp_path):
+    """r6: --canonicalize-urls rewrites the id to canonical form before
+    dedup, so the same page fetched with tracking params / fragments /
+    default ports collapses to one row."""
+    rows = [
+        ("https://example.com/page", "identical page content body words here"),
+        ("https://EXAMPLE.com:443/page?utm_source=tw", "identical page content body words here"),
+        ("https://example.com/page#frag", "identical page content body words here"),
+        ("https://example.com/other", "a different page entirely with other words"),
+    ]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", inp, "--id-col", "url", "--text-col", "text",
+            "--canonicalize-urls",
+            "--min-quality", "0.0", "--max-dup-word-ratio", "1.0",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.load(open(metrics_path))
+    stages = {s["stage"]: s for s in m["stages"]}
+    assert stages["canonicalize_urls"]["rows"] == 4
+    assert stages["exact_dedup"]["rows"] == 2  # the three refetches collapse
+    kept = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
+    assert kept == {"https://example.com/page", "https://example.com/other"}
