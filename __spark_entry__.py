@@ -579,6 +579,23 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_dup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplicate CLUSTERS (r6): docs sharing any 25-char
+    substring — transitively, through any chain length — get one
+    cluster id (the component's min doc id). Spark side = hub edges
+    (doc → min sharer per gram, star per gram ≡ clique connectivity)
+    into the alternating large-star/small-star fixpoint of
+    ``operators/cluster.py``; the DuckDB oracle recomputes components
+    from literal substrings with a recursive reachability CTE — a
+    star-round emission bug, premature convergence, or a lost isolated
+    doc all hash-mismatch."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.cluster import dup_span_clusters
+
+    docs = _load(spark, sf_dir, "documents")
+    return dup_span_clusters(docs, "doc_id", "text", span=25).orderBy("doc_id")
+
+
 def _q_bm25_top_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 ranked retrieval (r6) over the documents table for the query
     {hash, join, scan}, k1=1.2 b=0.75 — the Spark side is the filtered-
@@ -1008,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_spectral_peaks": _q_audio_spectral_peaks,
         "bm25_top_docs": _q_bm25_top_docs,
         "duplicated_spans": _q_duplicated_spans,
+        "dup_span_clusters": _q_dup_span_clusters,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1237,6 +1255,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, COUNT(*) AS dup_positions
             FROM w JOIN dup USING (g)
             GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dup_span_clusters": """
+            WITH RECURSIVE w AS (
+              SELECT DISTINCT doc_id, substr(text, i, 25) AS g
+              FROM documents,
+                   LATERAL (SELECT UNNEST(range(1, length(text) - 25 + 2)) AS i)
+              WHERE length(text) >= 25
+            ), hubs AS (
+              SELECT g, MIN(doc_id) AS hub
+              FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+            ), edges AS (
+              SELECT DISTINCT w.doc_id AS a, h.hub AS b
+              FROM w JOIN hubs h USING (g) WHERE w.doc_id <> h.hub
+            ), sym AS (
+              SELECT a, b FROM edges UNION SELECT b, a FROM edges
+            ), reach(n, r) AS (
+              SELECT a, b FROM sym
+              UNION
+              SELECT reach.n, sym.b FROM reach JOIN sym ON reach.r = sym.a
+            ), comp AS (
+              SELECT n, LEAST(n, MIN(r)) AS c FROM reach GROUP BY n
+            )
+            SELECT d.doc_id, COALESCE(comp.c, d.doc_id) AS cluster_id
+            FROM documents d LEFT JOIN comp ON d.doc_id = comp.n
+            ORDER BY doc_id
         """,
         "bm25_top_docs": """
             WITH toks AS (

@@ -618,6 +618,55 @@ def _capped_cluster_pairs(ids: np.ndarray, score, is_hit, cap: int):
     return np.asarray(out_i), np.asarray(out_k), np.asarray(out_s, dtype=np.float64)
 
 
+def minhash_match_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_perm: int = 128,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.8,
+    max_bucket_pairwise: int = 256,
+    shingle_unit: str = "char",
+) -> DataFrame:
+    """Verified near-dup PAIRS from banded MinHash LSH: every pair of
+    docs sharing a (band, bucket) whose estimated Jaccard ≥ threshold,
+    as (id, keeper_id, jaccard_est) with keeper_id < id. The edge set
+    behind both :func:`minhash_lsh_dedup` (pointer-jumped labels) and
+    :func:`hlld_spark.operators.cluster.minhash_cluster_dedup` (exact
+    connected components). Shuffle shape: (band_key → id, signature)
+    rows only — text never moves past signature computation."""
+    sig_df = minhash_signature_df(df, id_col, text_col, num_perm, shingle_k, shingle_unit).cache()
+    banded = minhash_bands(sig_df, id_col, num_perm, bands)
+
+    id_type = sig_df.schema[id_col].dataType
+    pair_schema = StructType(
+        [
+            StructField("id", id_type, False),
+            StructField("keeper_id", id_type, False),
+            StructField("jaccard_est", DoubleType(), False),
+        ]
+    )
+    cap = max_bucket_pairwise
+
+    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame({"id": [], "keeper_id": [], "jaccard_est": []})
+        order = np.argsort(pdf[id_col].to_numpy())
+        ids = pdf[id_col].to_numpy()[order]
+        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in pdf["signature"].to_numpy()[order]])
+        i, k, s = _capped_cluster_pairs(
+            ids,
+            lambda ia, ib: (sigs[ia][:, None, :] == sigs[ib][None, :, :]).mean(axis=2),
+            lambda S: S >= threshold,
+            cap,
+        )
+        return pd.DataFrame({"id": i, "keeper_id": k, "jaccard_est": s})
+
+    return banded.groupBy("band", "bucket").applyInPandas(bucket_pairs, schema=pair_schema)
+
+
 def minhash_lsh_dedup(
     df: DataFrame,
     id_col: str,
@@ -653,35 +702,17 @@ def minhash_lsh_dedup(
     band keys are 8-byte hashes, signatures num_perm*8 bytes; no text
     moves after signature computation.
     """
-    sig_df = minhash_signature_df(df, id_col, text_col, num_perm, shingle_k, shingle_unit).cache()
-    banded = minhash_bands(sig_df, id_col, num_perm, bands)
-
-    id_type = sig_df.schema[id_col].dataType
-    pair_schema = StructType(
-        [
-            StructField("id", id_type, False),
-            StructField("keeper_id", id_type, False),
-            StructField("jaccard_est", DoubleType(), False),
-        ]
+    pairs = minhash_match_pairs(
+        df,
+        id_col,
+        text_col,
+        num_perm=num_perm,
+        bands=bands,
+        shingle_k=shingle_k,
+        threshold=threshold,
+        max_bucket_pairwise=max_bucket_pairwise,
+        shingle_unit=shingle_unit,
     )
-    cap = max_bucket_pairwise
-
-    def bucket_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
-        n = len(pdf)
-        if n < 2:
-            return pd.DataFrame({"id": [], "keeper_id": [], "jaccard_est": []})
-        order = np.argsort(pdf[id_col].to_numpy())
-        ids = pdf[id_col].to_numpy()[order]
-        sigs = np.stack([np.frombuffer(s, dtype=np.uint64) for s in pdf["signature"].to_numpy()[order]])
-        i, k, s = _capped_cluster_pairs(
-            ids,
-            lambda ia, ib: (sigs[ia][:, None, :] == sigs[ib][None, :, :]).mean(axis=2),
-            lambda S: S >= threshold,
-            cap,
-        )
-        return pd.DataFrame({"id": i, "keeper_id": k, "jaccard_est": s})
-
-    pairs = banded.groupBy("band", "bucket").applyInPandas(bucket_pairs, schema=pair_schema)
     # a doc may match in several bands/buckets → global min keeper
     labels = pairs.groupBy("id").agg(
         F.min("keeper_id").alias("keeper_id"), F.max("jaccard_est").alias("jaccard_est")
@@ -993,32 +1024,14 @@ def embedding_cosine_dedup(
     )
 
 
-def duplicated_span_counts(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    span: int = 50,
-    min_docs: int = 2,
-    stride: int = 1,
+def _span_gram_stream(
+    df: DataFrame, id_col: str, text_col: str, span: int, stride: int = 1
 ) -> DataFrame:
-    """Exact-substring duplication signal (the Lee et al. 2022
-    "Deduplicating Training Data Makes Language Models Better" family,
-    re-expressed relationally): for each document, the number of
-    character positions whose ``span``-char substring also occurs in at
-    least ``min_docs`` DISTINCT documents. High counts mark boilerplate
-    / mirrored passages that n-gram-Jaccard dedup keeps (the documents
-    differ globally) but substring dedup removes.
-
-    Spark-first shape instead of a suffix array: every position's
-    span-gram is hashed by the vectorized char-shingle kernel (64-bit —
-    cross-doc hash collisions are the documented approximation,
-    ~(total grams)²/2⁶⁴), the gram stream is repartitioned ONCE by
-    gram_hash, and the (gram, doc) aggregation, the docs-per-gram
-    aggregation and their join all reuse that partitioning — exactly
-    one gram-scale Exchange in the plan (asserted in tests). ``stride``
-    samples every stride-th position for the 100-TB budget knob (the
-    published method pays the same every-position cost via suffix
-    arrays); counts then approximate positions/stride."""
+    """(id, gram_hash) stream of every ``stride``-th position's
+    ``span``-char substring hash, via the vectorized char-shingle
+    kernel. Shared by :func:`duplicated_span_counts` and
+    :func:`hlld_spark.operators.cluster.span_dup_edges`; callers
+    repartition by ``gram_hash`` and reuse that clustering."""
     schema = StructType(
         [df.schema[id_col], StructField("gram_hash", LongType(), False)]
     )
@@ -1046,12 +1059,39 @@ def duplicated_span_counts(
                 ids, hh = ids[sel], hh[sel]
             yield pd.DataFrame({id_col: ids, "gram_hash": hh.astype(np.int64)})
 
+    return df.select(id_col, text_col).mapInPandas(grams_fn, schema=schema)
+
+
+def duplicated_span_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 50,
+    min_docs: int = 2,
+    stride: int = 1,
+) -> DataFrame:
+    """Exact-substring duplication signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" family,
+    re-expressed relationally): for each document, the number of
+    character positions whose ``span``-char substring also occurs in at
+    least ``min_docs`` DISTINCT documents. High counts mark boilerplate
+    / mirrored passages that n-gram-Jaccard dedup keeps (the documents
+    differ globally) but substring dedup removes.
+
+    Spark-first shape instead of a suffix array: every position's
+    span-gram is hashed by the vectorized char-shingle kernel (64-bit —
+    cross-doc hash collisions are the documented approximation,
+    ~(total grams)²/2⁶⁴), the gram stream is repartitioned ONCE by
+    gram_hash, and the (gram, doc) aggregation, the docs-per-gram
+    aggregation and their join all reuse that partitioning — exactly
+    one gram-scale Exchange in the plan (asserted in tests). ``stride``
+    samples every stride-th position for the 100-TB budget knob (the
+    published method pays the same every-position cost via suffix
+    arrays); counts then approximate positions/stride."""
     from pyspark.sql import Window
 
-    grams = (
-        df.select(id_col, text_col)
-        .mapInPandas(grams_fn, schema=schema)
-        .repartition(F.col("gram_hash"))
+    grams = _span_gram_stream(df, id_col, text_col, span, stride).repartition(
+        F.col("gram_hash")
     )
     # ONE pass over the gram stream: the (gram, doc) aggregation keeps
     # the repartition's gram_hash clustering, so the docs-per-gram
