@@ -579,6 +579,35 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub gate (r6): a deterministic PII-laden line (email + IPv4
+    + phone synthesized from doc_id, plus a real text prefix) is built
+    IDENTICALLY in Spark and DuckDB, then redacted and counted by each
+    engine's own regex machinery (Java regex vs RE2) using the shared
+    patterns of ``operators/pii.py`` — any pattern outside the engines'
+    common subset, ordering bug, or count/replace disagreement
+    hash-mismatches on the full redacted strings."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.pii import redact_pii, with_pii_counts
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "concat('reach ', format_string('user%d@mail%d.example.com', doc_id, doc_id % 7), "
+            "' on host ', format_string('%d.%d.%d.%d', doc_id % 224, (doc_id * 7) % 256, "
+            "(doc_id * 13) % 256, doc_id % 250), "
+            "' call ', format_string('(%03d) %03d-%04d', 200 + doc_id % 800, "
+            "100 + doc_id % 900, doc_id % 10000), ' ', substr(text, 1, 40))"
+        ).alias("pii_text"),
+    )
+    out = redact_pii(
+        with_pii_counts(docs, "pii_text"), "pii_text", out_col="redacted"
+    )
+    return out.select(
+        "doc_id", "redacted", "email_count", "ipv4_count", "phone_count"
+    ).orderBy("doc_id")
+
+
 def _q_dup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate CLUSTERS (r6): docs sharing any 25-char
     substring — transitively, through any chain length — get one
@@ -1026,6 +1055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_docs": _q_bm25_top_docs,
         "duplicated_spans": _q_duplicated_spans,
         "dup_span_clusters": _q_dup_span_clusters,
+        "pii_redaction": _q_pii_redaction,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1034,6 +1064,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "streaming_windowed_counts": _q_streaming_windowed_counts,
         "streaming_windowed_append": _q_streaming_windowed_append,
     }
+
+
+def _pii_oracle_sql() -> str:
+    """DuckDB twin of _q_pii_redaction: identical deterministic text
+    construction, then RE2 redaction/counting with the SAME pattern
+    strings (imported, not copied — drift is impossible)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from hlld_spark.operators.pii import PII_PATTERNS
+
+    sql = """
+            WITH base AS (
+              SELECT doc_id,
+                     concat('reach ',
+                            printf('user%d@mail%d.example.com', doc_id, doc_id % 7),
+                            ' on host ',
+                            printf('%d.%d.%d.%d', doc_id % 224, (doc_id * 7) % 256,
+                                   (doc_id * 13) % 256, doc_id % 250),
+                            ' call ',
+                            printf('(%03d) %03d-%04d', 200 + doc_id % 800,
+                                   100 + doc_id % 900, doc_id % 10000),
+                            ' ', substr(text, 1, 40)) AS pii_text
+              FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(regexp_replace(regexp_replace(pii_text,
+                       '__EMAIL_RE__', '<|EMAIL|>', 'g'),
+                       '__IPV4_RE__', '<|IPV4|>', 'g'),
+                       '__PHONE_RE__', '<|PHONE|>', 'g') AS redacted,
+                   len(regexp_extract_all(pii_text, '__EMAIL_RE__')) AS email_count,
+                   len(regexp_extract_all(pii_text, '__IPV4_RE__')) AS ipv4_count,
+                   len(regexp_extract_all(pii_text, '__PHONE_RE__')) AS phone_count
+            FROM base ORDER BY doc_id
+    """
+    return (
+        sql.replace("__EMAIL_RE__", PII_PATTERNS["email"])
+        .replace("__IPV4_RE__", PII_PATTERNS["ipv4"])
+        .replace("__PHONE_RE__", PII_PATTERNS["phone"])
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1256,6 +1327,7 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN dup USING (g)
             GROUP BY doc_id ORDER BY doc_id
         """,
+        "pii_redaction": _pii_oracle_sql(),
         "dup_span_clusters": """
             WITH RECURSIVE w AS (
               SELECT DISTINCT doc_id, substr(text, i, 25) AS g
