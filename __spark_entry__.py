@@ -579,6 +579,25 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram LM self-scored over documents (r6) — the
+    CCNet-style perplexity quality signal. Spark trains the count
+    tables and scores every token position with the documented backoff
+    cascade (operators/lm.py); the DuckDB oracle REIMPLEMENTS the whole
+    thing in SQL (list-position grams + count CTEs + the same α-penalty
+    CASE) — a gram off-by-one, wrong backoff penalty, or denominator
+    swap mismatches on every row. Rounded to 4 places on both sides so
+    float summation order cannot flip a digit."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.lm import perplexity_scores
+
+    docs = _load(spark, sf_dir, "documents")
+    out = perplexity_scores(
+        docs, "doc_id", "text", broadcast_counts=True, round_digits=4
+    )
+    return out.select("doc_id", "n_tokens", "avg_logp", "ppl").orderBy("doc_id")
+
+
 def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII scrub gate (r6): a deterministic PII-laden line (email + IPv4
     + phone synthesized from doc_id, plus a real text prefix) is built
@@ -1056,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": _q_duplicated_spans,
         "dup_span_clusters": _q_dup_span_clusters,
         "pii_redaction": _q_pii_redaction,
+        "lm_perplexity": _q_lm_perplexity,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1328,6 +1348,43 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "lm_perplexity": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), pos AS (
+              SELECT doc_id, i,
+                     t[i] AS w,
+                     CASE WHEN i >= 2 THEN t[i-1] || ' ' || t[i] END AS big,
+                     CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] END AS ctx3,
+                     CASE WHEN i >= 2 THEN t[i-1] END AS ctx1,
+                     CASE WHEN i >= 3 THEN t[i-2] || ' ' || t[i-1] || ' ' || t[i] END AS tri
+              FROM toks, LATERAL (SELECT UNNEST(range(1, len(t) + 1)) AS i)
+            ), c1 AS (SELECT w AS g, COUNT(*) AS c FROM pos GROUP BY w),
+               c2 AS (SELECT big AS g, COUNT(*) AS c FROM pos WHERE big IS NOT NULL GROUP BY big),
+               c3 AS (SELECT tri AS g, COUNT(*) AS c FROM pos WHERE tri IS NOT NULL GROUP BY tri),
+               tot AS (SELECT SUM(c) AS n FROM c1),
+            scored AS (
+              SELECT p.doc_id,
+                     CASE
+                       WHEN c3.c IS NOT NULL THEN c3.c::DOUBLE / cx2.c
+                       WHEN c2b.c IS NOT NULL THEN POW(0.4, LEAST(3, p.i) - 2) * c2b.c / cx1.c
+                       WHEN c1w.c IS NOT NULL THEN POW(0.4, LEAST(3, p.i) - 1) * c1w.c / tot.n
+                       ELSE POW(0.4, LEAST(3, p.i) - 1) * 0.4 / tot.n
+                     END AS s
+              FROM pos p
+              LEFT JOIN c3 ON p.tri = c3.g
+              LEFT JOIN c2 cx2 ON p.ctx3 = cx2.g
+              LEFT JOIN c2 c2b ON p.big = c2b.g
+              LEFT JOIN c1 cx1 ON p.ctx1 = cx1.g
+              LEFT JOIN c1 c1w ON p.w = c1w.g
+              CROSS JOIN tot
+            )
+            SELECT doc_id, COUNT(*) AS n_tokens,
+                   ROUND(AVG(LOG10(s)), 4) AS avg_logp,
+                   ROUND(POW(10.0, -AVG(LOG10(s))), 4) AS ppl
+            FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
         "dup_span_clusters": """
             WITH RECURSIVE w AS (
               SELECT DISTINCT doc_id, substr(text, i, 25) AS g
