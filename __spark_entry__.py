@@ -579,6 +579,29 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing gate (r6): every document's span in the
+    GPT-style concatenated token stream (offset + 512-token chunk
+    range). The Spark side computes the prefix sum HIERARCHICALLY
+    (bucket totals → one tiny bucket window → within-bucket windows —
+    no single-partition doc-scale window, operators/pack.py); the
+    DuckDB oracle uses the naive global running sum — the gate proves
+    the decomposition telescopes to the identical stream layout."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.pack import pack_sequences
+
+    docs = _load(spark, sf_dir, "documents")
+    out = pack_sequences(docs, "doc_id", 512, text_col="text", bucket_span=256)
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "token_offset",
+        "first_chunk",
+        "last_chunk",
+        "start_in_first",
+    ).orderBy("doc_id")
+
+
 def _q_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stupid-backoff trigram LM self-scored over documents (r6) — the
     CCNet-style perplexity quality signal. Spark trains the count
@@ -1076,6 +1099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_span_clusters": _q_dup_span_clusters,
         "pii_redaction": _q_pii_redaction,
         "lm_perplexity": _q_lm_perplexity,
+        "packed_chunks": _q_packed_chunks,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1348,6 +1372,23 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "packed_chunks": """
+            WITH toks AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+              FROM documents
+            ), offs AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS token_offset
+              FROM toks
+            )
+            SELECT doc_id, n_tokens, token_offset,
+                   CASE WHEN n_tokens > 0 THEN token_offset // 512 END AS first_chunk,
+                   CASE WHEN n_tokens > 0 THEN (token_offset + n_tokens - 1) // 512 END AS last_chunk,
+                   CASE WHEN n_tokens > 0 THEN token_offset % 512 END AS start_in_first
+            FROM offs ORDER BY doc_id
+        """,
         "lm_perplexity": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
