@@ -5,11 +5,15 @@ the order a real pretraining pipeline runs them — each stage is a
 DataFrame transform, so Catalyst fuses what it can and the whole job is
 one lineage:
 
+    0. URL canonicalization (refetch families collapse to one id) [optional]
     1. exact dedup          (content-hash min-id keepers, payload-free shuffle)
-    2. near-dup dedup       (MinHash LSH + pairwise bucket verify) [optional]
+    2. near-dup dedup       (MinHash LSH + pairwise bucket verify; closure =
+                             pointer jumping or exact connected components) [optional]
     3. decontamination      (n-gram overlap vs an eval/benchmark table) [optional]
     4. quality + repetition (pure-Catalyst scores, thresholds)
+    4b. perplexity filter   (self-scored stupid-backoff trigram LM) [optional]
     5. language filter      (trigram-profile natural-text lang-id) [optional]
+    6. PII scrub            (email/IPv4/phone redaction + audit totals) [optional]
 
 Writes the cleaned table (Iceberg when available, partitioned parquet
 otherwise) plus a metrics JSON with per-stage row counts and removal
@@ -71,6 +75,14 @@ def main() -> None:
                     help="shingle size (default: 5 chars / 5 tokens)")
     ap.add_argument("--near-dup-threshold", type=float, default=0.8,
                     help="estimated-Jaccard threshold for near-dup clustering")
+    ap.add_argument(
+        "--near-dup-mode",
+        default="pointer",
+        choices=["pointer", "cc"],
+        help="cluster closure: pointer = 2-round pointer jumping "
+        "(cheap, covers chains ≤4 links); cc = exact connected "
+        "components (large-star/small-star fixpoint — any chain depth)",
+    )
     ap.add_argument("--eval-table", default=None, help="benchmark table to decontaminate against")
     ap.add_argument("--eval-text-col", default=None)
     ap.add_argument("--decontaminate-n", type=int, default=13)
@@ -82,6 +94,27 @@ def main() -> None:
     )
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--max-dup-word-ratio", type=float, default=0.7)
+    ap.add_argument(
+        "--max-ppl", type=float, default=None,
+        help="drop docs whose self-scored stupid-backoff trigram "
+        "perplexity (operators/lm.py) exceeds this (noise filter)",
+    )
+    ap.add_argument(
+        "--min-ppl", type=float, default=0.0,
+        help="with --max-ppl: also drop docs BELOW this (boilerplate)",
+    )
+    ap.add_argument(
+        "--ppl-min-count", type=int, default=2,
+        help="prune bigram/trigram counts below this before scoring "
+        "(KenLM/CCNet convention; without pruning, self-scoring is "
+        "degenerate — every doc's own singleton trigrams score ~1)",
+    )
+    ap.add_argument(
+        "--redact-pii", action="store_true",
+        help="final scrub: replace emails/IPv4/phones in the text "
+        "column with placeholder tokens (operators/pii.py); match "
+        "totals are recorded in the metrics JSON",
+    )
     ap.add_argument("--langs", default=None, help="comma-separated lang allowlist (profile lang-id)")
     ap.add_argument("--partition-by", default=None, help="comma-separated output partition columns")
     ap.add_argument("--cpus", type=int, default=None, help="local mode cores (omit under spark-submit)")
@@ -139,7 +172,9 @@ def main() -> None:
         args.near_dup_unit, args.near_dup_k, args.near_dup_threshold,
         args.eval_table, args.eval_text_col, args.decontaminate_n,
         args.decontaminate_unit, args.min_quality, args.max_dup_word_ratio,
-        args.langs, args.canonicalize_urls, _input_fingerprint(args.input),
+        args.langs, args.canonicalize_urls, args.near_dup_mode,
+        args.max_ppl, args.min_ppl, args.ppl_min_count, args.redact_pii,
+        _input_fingerprint(args.input),
         _input_fingerprint(args.eval_table) if args.eval_table else None,
     ]
     run_sig = hashlib.sha256(json.dumps(sig_fields, default=str).encode()).hexdigest()[:16]
@@ -162,7 +197,9 @@ def main() -> None:
         + (["near_dup_dedup"] if args.near_dup else [])
         + (["decontaminate"] if args.eval_table else [])
         + ["quality_filter"]
+        + (["ppl_filter"] if args.max_ppl is not None else [])
         + (["lang_filter"] if args.langs else [])
+        + (["redact_pii"] if args.redact_pii else [])
     )
     # resume only a PREFIX of completed stages — an orphan checkpoint of
     # a later stage (earlier one missing/corrupt) is recomputed
@@ -245,20 +282,36 @@ def main() -> None:
     if args.near_dup:
 
         def near_dup(d):
-            labels = minhash_lsh_dedup(
-                d,
-                args.id_col,
-                args.text_col,
-                shingle_k=args.near_dup_k or 5,
-                shingle_unit=args.near_dup_unit,
-                threshold=args.near_dup_threshold,
-            )
+            if args.near_dup_mode == "cc":
+                from hlld_spark.operators.cluster import minhash_cluster_dedup
+
+                labels = minhash_cluster_dedup(
+                    d,
+                    args.id_col,
+                    args.text_col,
+                    shingle_k=args.near_dup_k or 5,
+                    shingle_unit=args.near_dup_unit,
+                    threshold=args.near_dup_threshold,
+                )
+            else:
+                labels = minhash_lsh_dedup(
+                    d,
+                    args.id_col,
+                    args.text_col,
+                    shingle_k=args.near_dup_k or 5,
+                    shingle_unit=args.near_dup_unit,
+                    threshold=args.near_dup_threshold,
+                )
             keepers = labels.filter(F.col("id") == F.col("keeper_id")).select(
                 F.col("id").alias(args.id_col)
             )
             return d.join(keepers, args.id_col, "left_semi")
 
-        run_stage("near_dup_dedup", near_dup, "MinHash LSH + pairwise verify")
+        run_stage(
+            "near_dup_dedup",
+            near_dup,
+            f"MinHash LSH + pairwise verify ({args.near_dup_mode} closure)",
+        )
 
     # 3. decontamination (optional)
     if args.eval_table:
@@ -292,6 +345,23 @@ def main() -> None:
         f"quality>={args.min_quality}, dup_word_ratio<={args.max_dup_word_ratio}",
     )
 
+    # 4b. perplexity filter (optional): stupid-backoff trigram LM
+    # self-trained on the SURVIVORS so far — boilerplate scores too low,
+    # noise too high
+    if args.max_ppl is not None:
+        from hlld_spark.operators.lm import perplexity_filter
+
+        run_stage(
+            "ppl_filter",
+            lambda d: perplexity_filter(
+                d, args.id_col, args.text_col,
+                max_ppl=args.max_ppl, min_ppl=args.min_ppl,
+                min_count=args.ppl_min_count,
+            ),
+            f"self-scored trigram ppl in [{args.min_ppl}, {args.max_ppl}] "
+            f"(min_count={args.ppl_min_count})",
+        )
+
     # 5. language allowlist (optional)
     if args.langs:
         allow = [x.strip() for x in args.langs.split(",") if x.strip()]
@@ -299,6 +369,24 @@ def main() -> None:
             "lang_filter",
             lambda d: with_lang_id_profiles(d, args.text_col).filter(F.col("lang_id").isin(allow)),
             f"allow {allow}",
+        )
+
+    # 6. PII scrub (optional, row-preserving): redact + audit totals
+    if args.redact_pii:
+        from hlld_spark.operators.pii import pii_stats, redact_pii
+
+        stats = {
+            r["kind"]: {
+                "total_matches": r["total_matches"],
+                "docs_affected": r["docs_affected"],
+            }
+            for r in pii_stats(docs, args.text_col).collect()
+        }
+        metrics["pii"] = stats
+        run_stage(
+            "redact_pii",
+            lambda d: redact_pii(d, args.text_col),
+            "emails/IPv4/phones -> placeholder tokens",
         )
 
     fmt = write_table(

@@ -209,6 +209,44 @@ def test_pipeline_stage_checkpoint_resume(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_pipeline_ppl_filter_pii_redaction_cc_mode(spark, tmp_path):
+    """r6: --max-ppl drops the noise doc, --redact-pii scrubs the text
+    and records audit totals, --near-dup-mode cc runs the exact-CC
+    closure path end-to-end."""
+    normal = "the data pipeline runs the data pipeline daily for all teams"
+    rows = [(f"https://ex.com/{i}", normal + f" extra{i}") for i in range(6)]
+    rows.append(("https://ex.com/noise", "zq xv jk qp wm zx cv bn yt rw"))
+    rows.append(("https://ex.com/pii", normal + " mail bob@corp.example.com now"))
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", inp, "--id-col", "url", "--text-col", "text",
+            "--near-dup", "--near-dup-mode", "cc", "--near-dup-threshold", "0.9",
+            "--max-ppl", "100", "--redact-pii",
+            "--min-quality", "0.0", "--max-dup-word-ratio", "1.0",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.load(open(metrics_path))
+    stages = {s["stage"]: s for s in m["stages"]}
+    assert "(cc closure)" in stages["near_dup_dedup"]["note"]
+    # the gibberish doc has far higher self-perplexity than the repeats
+    assert stages["ppl_filter"]["removed"] >= 1
+    assert m["pii"]["email"]["total_matches"] == 1
+    got = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert "https://ex.com/noise" not in got
+    assert "<|EMAIL|>" in got["https://ex.com/pii"]
+    assert "bob@corp.example.com" not in got["https://ex.com/pii"]
+
+
+@pytest.mark.spark
 def test_pipeline_canonicalize_urls_collapses_refetches(spark, tmp_path):
     """r6: --canonicalize-urls rewrites the id to canonical form before
     dedup, so the same page fetched with tracking params / fragments /
