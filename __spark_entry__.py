@@ -562,6 +562,7 @@ _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
 _REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v6_200.parquet"
 _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
 _URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
+_BOILERPLATE_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/boilerplate_200"
 
 
 def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -577,6 +578,28 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = _load(spark, sf_dir, "documents")
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
+
+
+def _q_main_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate removal gate (r6): jusText-style block classification
+    (operators/boilerplate.py) over a deterministic fixture of pages
+    whose html was constructed FROM known content paragraphs wrapped in
+    nav/sidebar/footer link walls, stopword-free tag clouds, short
+    context-rule notes and chrome-only pages. The DuckDB oracle reads
+    the generation-time truth — a block-split regression, link-density
+    slip, or context-rule bug mismatches full extracted strings."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.boilerplate import (
+        extract_main_text,
+        write_boilerplate_fixture,
+    )
+
+    write_boilerplate_fixture(_BOILERPLATE_FIXTURE_DIR, 200)
+    pages = spark.read.parquet(f"{_BOILERPLATE_FIXTURE_DIR}/pages.parquet")
+    out = extract_main_text(pages, "html")
+    return out.select(
+        "doc_id", "main_text", F.length("main_text").alias("n_chars")
+    ).orderBy("doc_id")
 
 
 def _q_packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1100,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "lm_perplexity": _q_lm_perplexity,
         "packed_chunks": _q_packed_chunks,
+        "main_text_extraction": _q_main_text_extraction,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1372,6 +1396,11 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "main_text_extraction": f"""
+            SELECT doc_id, main_text, LENGTH(main_text) AS n_chars
+            FROM read_parquet('{_BOILERPLATE_FIXTURE_DIR}/truth.parquet')
+            ORDER BY doc_id
+        """,
         "packed_chunks": """
             WITH toks AS (
               SELECT doc_id,

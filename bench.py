@@ -253,6 +253,45 @@ def main():
     )
     extras["decon_token_docs_per_sec"] = round(WEB_ROWS / timings["q13_decontaminate_web_tokens"], 1)
 
+    # q14: PII redaction throughput (r6) — pure-Catalyst regex scrub of
+    # the full corpus (email+IPv4+phone patterns); forced by a length
+    # sum so nothing collects. Measures codegen regex throughput — the
+    # scan-dominated shape the operator ships with (no Exchange, no
+    # Python; plan-asserted in tests/test_pii.py).
+    from hlld_spark.operators.pii import redact_pii
+
+    redact_pii(web.select("text").limit(20000), "text").agg(
+        F.sum(F.length("text"))
+    ).collect()  # warm
+    timed(
+        "q14_pii_redact_web",
+        lambda: redact_pii(web.select("text"), "text")
+        .agg(F.sum(F.length("text")))
+        .collect(),
+    )
+    extras["pii_docs_per_sec"] = round(WEB_ROWS / timings["q14_pii_redact_web"], 1)
+
+    # q15: sequence-packing offsets (r6) — hierarchical global prefix
+    # sum over all docs (tokenize + bucket totals + two windows; the
+    # only unpartitioned window runs over ~64k bucket aggregates).
+    # xxhash64(url) provides the numeric id order; bucket_span 2^48
+    # splits the int64 id space into ~65k buckets.
+    from hlld_spark.operators.pack import pack_sequences
+
+    pw = web.select(F.xxhash64("url").alias("doc_id"), "text")
+    pack_sequences(pw.limit(20000), "doc_id", 2048, text_col="text").agg(
+        F.max("last_chunk")
+    ).collect()  # warm
+    timed(
+        "q15_pack_offsets_web",
+        lambda: pack_sequences(
+            pw, "doc_id", 2048, text_col="text", bucket_span=1 << 48
+        )
+        .agg(F.max("last_chunk"), F.sum("n_tokens"))
+        .collect(),
+    )
+    extras["pack_docs_per_sec"] = round(WEB_ROWS / timings["q15_pack_offsets_web"], 1)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     # per-query deltas vs the previous round's recorded bench (VERDICT
