@@ -61,15 +61,22 @@ _DROP_SUBTREES = re.compile(
     r"<script\b.*?</script\s*>|<style\b.*?</style\s*>|<!--.*?-->",
     re.I | re.S,
 )
-_ANCHORS = re.compile(r"<a\b[^>]*>.*?</a\s*>", re.I | re.S)
 _TAGS = re.compile(r"<[^>]*>")
 _WS = re.compile(r"\s+")
-_STOP_RE = re.compile(r"(?i)\b(?:" + "|".join(STOPWORDS) + r")\b")
-_WORD_RE = re.compile(r"\S+")
+_STOP_SET = frozenset(STOPWORDS)
+_PUNCT_CHARS = ".,;:!?()[]{}\"'«»„“”‘’…—-"
 
-
-def _visible_len(s: pd.Series) -> pd.Series:
-    return s.str.replace(_TAGS, "", regex=True).str.len()
+# batched variants: the whole batch's blocks are processed as ONE
+# sentinel-joined buffer (3 C-level regex calls instead of 3 calls per
+# block — the profiled per-block subs were a major cost). The tag /
+# anchor classes exclude the sentinel so no match can cross a block
+# boundary; sentinel characters are stripped from the input first, so
+# a crafted page can at worst mis-extract ITSELF, never a neighbor.
+_SENT = "\ue000"  # block separator (private-use codepoint)
+_TOKM = "\ue001"  # token-stream block marker
+_TAGS_B = re.compile("<[^>\ue000]*>")
+_ANCHORS_B = re.compile("<a\\b[^>\ue000]*>[^\ue000]*?</a\\s*>", re.I)
+_WS_B = re.compile("[^\\S\ue000\ue001]+")
 
 
 def extract_main_text_series(
@@ -79,7 +86,14 @@ def extract_main_text_series(
     min_stop_density: float = 0.20,
 ) -> pd.Series:
     """Vectorized jusText-style extraction over a pandas Series of HTML
-    strings/bytes → Series of main text ('' when nothing qualifies)."""
+    strings/bytes -> Series of main text ('' when nothing qualifies).
+
+    The whole batch is processed as ONE sentinel-joined buffer: three
+    C-level regex passes (tag strip, anchor strip, whitespace collapse)
+    plus one lowercase+translate+split for tokenization replace the
+    per-block regex calls that profiling showed dominated. Sentinel
+    codepoints are removed from the input first, so no page can affect
+    a neighbor's segmentation."""
     s = html.map(
         lambda b: b.decode("utf-8", "replace")
         if isinstance(b, (bytes, bytearray))
@@ -91,20 +105,51 @@ def extract_main_text_series(
     if blocks.empty:
         return pd.Series([""] * len(s), index=s.index, dtype=object)
 
-    vis = blocks.str.replace(_TAGS, "", regex=True).str.replace(
-        _WS, " ", regex=True
-    ).str.strip()
-    # link density over RAW visible chars (same normalization on both
-    # sides of the subtraction — anchors removed element-wise)
-    raw_vis_len = _visible_len(blocks)
-    nonlink_len = _visible_len(blocks.str.replace(_ANCHORS, "", regex=True))
-    link_chars = (raw_vis_len - nonlink_len).clip(lower=0)
-    n_words = vis.str.count(_WORD_RE)
-    n_stop = vis.str.count(_STOP_RE)
+    raw = [
+        b.replace(_SENT, "").replace(_TOKM, "") for b in blocks.to_numpy()
+    ]
+    buf = _SENT.join(raw)
+    # visible text per block: ONE tag-strip over the batch buffer (the
+    # tag class excludes the sentinel, so matches never cross blocks)
+    tagless = _TAGS_B.sub("", buf)
+    raw_vis_len = np.array([len(x) for x in tagless.split(_SENT)])
+    # non-link visible chars: anchors (with their text) removed first
+    nonlink_len = np.array(
+        [len(x) for x in _TAGS_B.sub("", _ANCHORS_B.sub("", buf)).split(_SENT)]
+    )
+    link_chars = np.maximum(raw_vis_len - nonlink_len, 0)
 
-    link_density = (link_chars / raw_vis_len.replace(0, 1)).to_numpy()
-    stop_density = (n_stop / n_words.replace(0, 1)).to_numpy()
-    n_words = n_words.to_numpy()
+    # whitespace-collapse + strip per block (one batched sub; the class
+    # treats sentinels as non-whitespace so boundaries survive)
+    vis_buf = _WS_B.sub(" ", tagless)
+    vis_np = np.array([x.strip() for x in vis_buf.split(_SENT)], dtype=object)
+
+    # tokenization: one lowercase + punctuation-delete + split of the
+    # marker-joined visible buffer; marker tokens delimit blocks exactly
+    tok_buf = (" " + _TOKM + " ").join(vis_np).lower()
+    toks = tok_buf.split()
+    if toks:
+        # frozenset membership with a punctuation strip — O(1) C hash
+        # per token (np.isin over object dtype fell back to python
+        # comparisons and dominated the profile)
+        S, P = _STOP_SET, _PUNCT_CHARS
+        is_stop = np.fromiter(
+            (t in S or t.strip(P) in S for t in toks), bool, len(toks)
+        )
+        marks = np.fromiter((t == _TOKM for t in toks), bool, len(toks))
+        mark_pos = np.flatnonzero(marks)
+        is_stop[mark_pos] = False
+        bounds_tok = np.concatenate(([-1], mark_pos, [len(toks)]))
+        n_words = (bounds_tok[1:] - bounds_tok[:-1] - 1).astype(np.int64)
+        cums = np.concatenate(([0], np.cumsum(is_stop)))
+        n_stop = cums[bounds_tok[1:]] - cums[bounds_tok[:-1] + 1]
+    else:
+        n_words = np.zeros(len(vis_np), dtype=np.int64)
+        n_stop = np.zeros(len(vis_np))
+    assert len(n_words) == len(vis_np)
+
+    link_density = link_chars / np.maximum(raw_vis_len, 1)
+    stop_density = n_stop / np.maximum(n_words, 1)
 
     # base classification: +1 content, -1 boilerplate, 0 short/undecided
     is_bad = (link_density > max_link_density) | (n_words == 0)
@@ -117,7 +162,6 @@ def extract_main_text_series(
     # explode preserves row order, so block doc-ids arrive grouped:
     # walk contiguous segments (linear, not a per-doc mask scan)
     doc_idx = blocks.index.to_numpy()
-    vis_np = vis.to_numpy()
     bounds = np.concatenate(
         ([0], np.flatnonzero(doc_idx[1:] != doc_idx[:-1]) + 1, [len(doc_idx)])
     )
