@@ -580,6 +580,23 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAG chunking gate (r6): every document split into 32-token
+    windows with 8-token overlap (step 24) — pure-Catalyst
+    sequence/posexplode/slice (operators/pack.py::chunk_documents,
+    plan-asserted no Python/Exchange in pytest); the DuckDB oracle
+    recomputes the same windows with range/unnest/list_slice. Full
+    chunk-text equality, so an off-by-one in the window start, the
+    ceil, or the slice bound mismatches."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.pack import chunk_documents
+
+    docs = _load(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, overlap=8
+    ).orderBy("doc_id", "chunk_id")
+
+
 def _q_main_text_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boilerplate removal gate (r6): jusText-style block classification
     (operators/boilerplate.py) over a deterministic fixture of pages
@@ -1124,6 +1141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_perplexity": _q_lm_perplexity,
         "packed_chunks": _q_packed_chunks,
         "main_text_extraction": _q_main_text_extraction,
+        "doc_chunks": _q_doc_chunks,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1396,6 +1414,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "doc_chunks": """
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+              FROM documents
+            ), sized AS (
+              SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0
+            ), starts AS (
+              SELECT doc_id, t, n,
+                     UNNEST(range(0,
+                       (CASE WHEN n <= 32 THEN 0
+                             ELSE CAST(CEIL((n - 32) / 24.0) AS BIGINT) * 24 END) + 1,
+                       24)) AS start
+              FROM sized
+            )
+            SELECT doc_id,
+                   start // 24 AS chunk_id,
+                   len(list_slice(t, start + 1, start + 32)) AS n_chunk_tokens,
+                   array_to_string(list_slice(t, start + 1, start + 32), ' ') AS chunk_text
+            FROM starts ORDER BY doc_id, chunk_id
+        """,
         "main_text_extraction": f"""
             SELECT doc_id, main_text, LENGTH(main_text) AS n_chars
             FROM read_parquet('{_BOILERPLATE_FIXTURE_DIR}/truth.parquet')

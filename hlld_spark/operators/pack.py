@@ -110,6 +110,56 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 64,
+) -> DataFrame:
+    """RAG-style sliding-window chunking: each document becomes
+    ⌈(n-chunk)/step⌉+1 overlapping chunks (step = chunk_tokens −
+    overlap), the standard retrieval-index preprocessing. Pure Catalyst:
+    token array → ``sequence`` of window starts → ``posexplode`` →
+    ``slice``+``array_join`` — everything inside codegen, the only
+    fan-out is the chunk explode itself (bounded by n/step + 1 rows per
+    doc). Zero-token documents yield no chunks. Returns
+    (id, chunk_id, n_chunk_tokens, chunk_text)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = df.select(F.col(id_col), tokens_col(text_col).alias("t")).withColumn(
+        "n", F.size("t")
+    )
+    # last window start: 0 for n <= chunk, else step * ceil((n-chunk)/step)
+    last_start = F.when(
+        F.col("n") <= chunk_tokens, F.lit(0)
+    ).otherwise(
+        F.ceil((F.col("n") - F.lit(chunk_tokens)) / F.lit(step)).cast("long")
+        * F.lit(step)
+    )
+    out = (
+        toks.where(F.col("n") > 0)
+        .withColumn("starts", F.sequence(F.lit(0).cast("long"), last_start, F.lit(step)))
+        .select(
+            id_col,
+            "t",
+            "n",
+            F.posexplode("starts").alias("chunk_id", "start"),
+        )
+        .withColumn(
+            "chunk_toks",
+            F.slice("t", F.col("start").cast("int") + 1, chunk_tokens),
+        )
+    )
+    return out.select(
+        id_col,
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size("chunk_toks").cast("long").alias("n_chunk_tokens"),
+        F.array_join("chunk_toks", " ").alias("chunk_text"),
+    )
+
+
 def packed_chunk_stats(packed: DataFrame, ctx_len: int) -> DataFrame:
     """Per-chunk occupancy from :func:`pack_sequences` output:
     (chunk, n_docs, n_tokens). A document spanning k chunks contributes

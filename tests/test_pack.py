@@ -8,6 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hlld_spark.operators.pack import (
+    chunk_documents,
     pack_sequences,
     packed_chunk_stats,
     with_global_token_offsets,
@@ -94,3 +95,51 @@ def test_no_global_row_window_in_plan(spark):
     # the only unpartitioned window runs over __btot bucket aggregates
     bucket_windows = [ln for ln in plan.splitlines() if "sum(__btot" in ln]
     assert len(bucket_windows) == 1
+
+
+@pytest.mark.spark
+def test_chunk_documents_hand_case(spark):
+    # 10 tokens, chunk 4, overlap 2 -> step 2, starts 0,2,4,6 (last
+    # start = ceil((10-4)/2)*2 = 6), final chunk exactly fills
+    text = "a b c d e f g h i j"
+    df = spark.createDataFrame([(1, text), (2, "x y"), (3, "")],
+                               "doc_id long, text string")
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=4, overlap=2).collect()
+    got = {(r["doc_id"], r["chunk_id"]): (r["n_chunk_tokens"], r["chunk_text"]) for r in rows}
+    assert got[(1, 0)] == (4, "a b c d")
+    assert got[(1, 1)] == (4, "c d e f")
+    assert got[(1, 2)] == (4, "e f g h")
+    assert got[(1, 3)] == (4, "g h i j")
+    assert got[(2, 0)] == (2, "x y")
+    assert len([k for k in got if k[0] == 1]) == 4
+    assert not any(k[0] == 3 for k in got)  # empty doc -> no chunks
+
+
+@pytest.mark.spark
+def test_chunk_documents_ragged_tail_and_coverage(spark):
+    import re as _re
+    texts = {i: " ".join(f"w{j}" for j in range(i)) for i in (1, 4, 5, 6, 9, 13)}
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    rows = chunk_documents(df, "doc_id", "text", chunk_tokens=5, overlap=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for i, text in texts.items():
+        toks = text.split()
+        chunks = sorted(by_doc[i], key=lambda r: r["chunk_id"])
+        step = 3
+        # reconstruction: every token position covered; window starts correct
+        seen = set()
+        for c in chunks:
+            start = c["chunk_id"] * step
+            want = toks[start:start + 5]
+            assert c["chunk_text"].split() == want, (i, c["chunk_id"])
+            seen.update(range(start, min(start + 5, len(toks))))
+        assert seen == set(range(len(toks))), i
+
+
+@pytest.mark.spark
+def test_chunk_documents_plan_no_python(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(df, "doc_id", "text")._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
