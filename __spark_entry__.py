@@ -580,6 +580,80 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA moments gate (r6): the one-pass per-partition
+    (n, Σx, ΣxxT) aggregation of ``operators/embeddings.py`` against a
+    DuckDB oracle that computes every covariance entry exactly in SQL
+    (embeddings × 64×64 position pairs). Both sides accumulate in
+    float64 with the same E[xy]−E[x]E[y] formula; entries rounded to 4
+    places. A partial-merge bug, float32 truncation, or mean/Gram slip
+    mismatches across the 4096 entries."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.embeddings import embedding_moments
+
+    emb = _load(spark, sf_dir, "embeddings")
+    _n, _mean, cov = embedding_moments(emb, "embedding")
+    d = cov.shape[0]
+    rows = [
+        (i + 1, j + 1, float(round(cov[i, j], 4)))
+        for i in range(d)
+        for j in range(d)
+    ]
+    return spark.createDataFrame(rows, "i long, j long, cov double").orderBy("i", "j")
+
+
+def _q_pca_projection_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA spectral-invariant gate (r6), empty-exact like the sketch
+    bound queries: fit k=8 PCA on the embeddings table, project the
+    whole table DISTRIBUTED, and return every component whose projected
+    variance disagrees with its eigenvalue by >0.1% — plus a sentinel
+    row if the reconstruction MSE differs from the dropped-eigenvalue
+    total by >0.1% or the basis is not orthonormal to 1e-8. All checks
+    recompute through the projection path, so basis/scale/mean bugs
+    surface as rows."""
+    _ensure_shipped(spark)
+    import numpy as np
+
+    from hlld_spark.operators.embeddings import fit_pca, project_embeddings
+
+    emb = _load(spark, sf_dir, "embeddings")
+    model = fit_pca(emb, "embedding", k=8)
+    proj = project_embeddings(emb, model, "embedding")
+    k = len(model["eigvals"])
+    # distributed per-component variance of the projection
+    comps = proj.select(
+        F.posexplode("pca").alias("component", "v")
+    )
+    stats = (
+        comps.groupBy("component")
+        .agg(F.avg(F.col("v") * F.col("v")).alias("ex2"), F.avg("v").alias("ex"))
+        .withColumn("var", F.col("ex2") - F.col("ex") * F.col("ex"))
+        .collect()
+    )
+    bad: list[tuple[int, str]] = []
+    for r in stats:
+        want = model["eigvals"][r["component"]]
+        if want > 1e-12 and abs(r["var"] - want) / want > 1e-3:
+            bad.append((int(r["component"]), "variance_mismatch"))
+    gram = model["components"] @ model["components"].T
+    if not np.allclose(gram, np.eye(k), atol=1e-8):
+        bad.append((-1, "not_orthonormal"))
+    # distributed reconstruction MSE == dropped eigenvalue mass
+    from hlld_spark.operators.embeddings import with_reconstruction_sq_error
+
+    mse = (
+        with_reconstruction_sq_error(proj, model, "embedding", "pca")
+        .agg(F.avg("recon_sq_error").alias("m"))
+        .collect()[0]["m"]
+    )
+    dropped = model["total_var"] - model["eigvals"].sum()
+    if dropped > 1e-12 and abs(mse - dropped) / dropped > 1e-3:
+        bad.append((-2, "reconstruction_mismatch"))
+    return spark.createDataFrame(bad, "component long, reason string").orderBy(
+        "component"
+    )
+
+
 def _q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RAG chunking gate (r6): every document split into 32-token
     windows with 8-token overlap (step 24) — pure-Catalyst
@@ -1142,6 +1216,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_chunks": _q_packed_chunks,
         "main_text_extraction": _q_main_text_extraction,
         "doc_chunks": _q_doc_chunks,
+        "embedding_covariance": _q_embedding_covariance,
+        "pca_projection_violations": _q_pca_projection_violations,
         "repetition_signals": _q_repetition_signals,
         "multimodal_features": _q_multimodal_features,
         "multimodal_frame_samples": _q_multimodal_frame_samples,
@@ -1414,6 +1490,19 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "embedding_covariance": """
+            WITH pos AS (SELECT UNNEST(range(1, 65)) AS p)
+            SELECT p1.p AS i, p2.p AS j,
+                   ROUND(SUM(CAST(embedding[p1.p] AS DOUBLE) * embedding[p2.p]) / COUNT(*)
+                         - (SUM(CAST(embedding[p1.p] AS DOUBLE)) / COUNT(*))
+                           * (SUM(CAST(embedding[p2.p] AS DOUBLE)) / COUNT(*)), 4) AS cov
+            FROM embeddings, pos p1, pos p2
+            GROUP BY p1.p, p2.p ORDER BY i, j
+        """,
+        "pca_projection_violations": """
+            SELECT CAST(NULL AS BIGINT) AS component,
+                   CAST(NULL AS VARCHAR) AS reason WHERE 1 = 0
+        """,
         "doc_chunks": """
             WITH toks AS (
               SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
