@@ -5,6 +5,7 @@ the order a real pretraining pipeline runs them — each stage is a
 DataFrame transform, so Catalyst fuses what it can and the whole job is
 one lineage:
 
+    -1. main-text extraction (jusText-style boilerplate removal from html) [optional]
     0. URL canonicalization (refetch families collapse to one id) [optional]
     1. exact dedup          (content-hash min-id keepers, payload-free shuffle)
     2. near-dup dedup       (MinHash LSH + pairwise bucket verify; closure =
@@ -54,6 +55,16 @@ def main() -> None:
     )
     ap.add_argument("--id-col", default="url")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument(
+        "--extract-main-text",
+        action="store_true",
+        help="derive the text column from an html column first via "
+        "jusText-style boilerplate removal (operators/boilerplate.py): "
+        "nav/footer/sidebar link walls and stopword-free blocks drop, "
+        "content paragraphs survive",
+    )
+    ap.add_argument("--html-col", default="html",
+                    help="html column for --extract-main-text")
     ap.add_argument(
         "--canonicalize-urls",
         action="store_true",
@@ -173,6 +184,7 @@ def main() -> None:
         args.eval_table, args.eval_text_col, args.decontaminate_n,
         args.decontaminate_unit, args.min_quality, args.max_dup_word_ratio,
         args.langs, args.canonicalize_urls, args.near_dup_mode,
+        args.extract_main_text, args.html_col,
         args.max_ppl, args.min_ppl, args.ppl_min_count, args.redact_pii,
         _input_fingerprint(args.input),
         _input_fingerprint(args.eval_table) if args.eval_table else None,
@@ -192,7 +204,8 @@ def main() -> None:
         )
 
     stage_order = (
-        (["canonicalize_urls"] if args.canonicalize_urls else [])
+        (["extract_main_text"] if args.extract_main_text else [])
+        + (["canonicalize_urls"] if args.canonicalize_urls else [])
         + ["exact_dedup"]
         + (["near_dup_dedup"] if args.near_dup else [])
         + (["decontaminate"] if args.eval_table else [])
@@ -254,6 +267,17 @@ def main() -> None:
     else:
         docs = read_table(spark, args.input)
     docs = stage("input", docs)
+
+    # -1. main-text extraction (optional): boilerplate-stripped text
+    # replaces the text column before any content-based stage
+    if args.extract_main_text:
+        from hlld_spark.operators.boilerplate import extract_main_text
+
+        run_stage(
+            "extract_main_text",
+            lambda d: extract_main_text(d, args.html_col, out_col=args.text_col),
+            "jusText-style block classification over " + args.html_col,
+        )
 
     # 0. URL canonicalization (optional): refetch families
     # (utm params, fragments, default ports, scheme/host case) collapse

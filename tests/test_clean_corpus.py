@@ -247,6 +247,45 @@ def test_pipeline_ppl_filter_pii_redaction_cc_mode(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_pipeline_extract_main_text_stage(spark, tmp_path):
+    """r6: --extract-main-text derives the text column from html via the
+    boilerplate classifier before dedup/quality."""
+    content = (
+        "The quick brown fox jumps over the lazy dog and then it was "
+        "seen that all of the animals in the forest were very happy "
+        "about this and many of them said so."
+    )
+    nav = '<nav><a href="/">Home</a> <a href="/a">About</a> <a href="/c">Contact</a></nav>'
+    rows = [
+        (f"https://ex.com/{i}", f"<html><body>{nav}<p>{content} page {i}</p>"
+         f"<footer>Copyright <a href='/t'>Terms</a> <a href='/p'>Priv</a></footer></body></html>")
+        for i in range(4)
+    ]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, html string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", inp, "--id-col", "url", "--text-col", "text",
+            "--extract-main-text",
+            "--min-quality", "0.0", "--max-dup-word-ratio", "1.0",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.load(open(metrics_path))
+    assert m["stages"][1]["stage"] == "extract_main_text"
+    got = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert len(got) == 4
+    for i in range(4):
+        assert got[f"https://ex.com/{i}"] == f"{content} page {i}"
+
+
+@pytest.mark.spark
 def test_pipeline_canonicalize_urls_collapses_refetches(spark, tmp_path):
     """r6: --canonicalize-urls rewrites the id to canonical form before
     dedup, so the same page fetched with tracking params / fragments /
