@@ -132,6 +132,40 @@ extract_image_features(parse_metadata(assets)).select(
     "asset_id", "meta.kind", "meta.width", "meta.height", "meta.sample_rate", "features"
 ).show(truncate=60)
 
+print("== 8e. r6 pipeline extras: boilerplate removal, PII scrub, trigram-LM perplexity, chunking")
+from hlld_spark.operators.boilerplate import extract_main_text
+from hlld_spark.operators.lm import perplexity_scores
+from hlld_spark.operators.pack import chunk_documents
+from hlld_spark.operators.pii import redact_pii
+
+pages = spark.createDataFrame(
+    [(1, "<nav><a href='/'>Home</a> <a href='/a'>About</a></nav>"
+         "<p>The data pipeline was run by all of the teams and it was seen "
+         "that most of them had the same results for the day. "
+         "Mail ops@example.com or call 555-123-4567 for more.</p>"
+         "<footer>Copyright <a href='/t'>Terms</a></footer>")],
+    "doc_id long, html string",
+)
+cleaned = redact_pii(extract_main_text(pages, "html", out_col="text"), "text")
+print("   extracted+redacted:", cleaned.select("text").first()["text"][:110], "...")
+ppl = perplexity_scores(web.limit(20000), "url", "text", min_count=2, broadcast_counts=True)
+print("   self-scored trigram ppl quartiles:",
+      [round(x, 2) for x in ppl.approxQuantile("ppl", [0.25, 0.5, 0.75], 0.01)])
+print("   RAG chunks of 3 docs:",
+      chunk_documents(web.limit(3), "url", "text", chunk_tokens=32, overlap=8).count())
+
+print("== 8f. r6 graph + linear algebra: exact near-dup clusters, distributed PCA")
+from hlld_spark.operators.cluster import connected_components
+from hlld_spark.operators.embeddings import fit_pca
+
+edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "src bigint, dst bigint")
+cc = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+print("   components of 1-2-3 / 7-8:", cc)
+emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+model = fit_pca(emb, "embedding", k=4)
+print("   top-4 PCA eigvals over the embeddings table:",
+      [round(float(v), 4) for v in model["eigvals"]])
+
 print("== 9. named sets: registry + wire protocol")
 reg = SketchRegistry(os.path.join(work, "sets"))
 reg.create("demo_urls", precision=14)
