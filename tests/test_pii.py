@@ -90,6 +90,44 @@ def test_java_vs_re2_equivalence(spark):
 
 
 @pytest.mark.spark
+def test_java_vs_re2_fuzz_sweep(spark):
+    """500 deterministically-generated adversarial strings (PII-shaped
+    fragments glued with mutations: missing octets, doubled dots,
+    digits running into words, partial phones) — redaction must agree
+    between Spark and DuckDB on every one."""
+    import random
+
+    rng = random.Random(0x911)
+    frags = [
+        "a@b.co", "x@y", "@z.com", "user.name+x@sub.ex-ample.org",
+        "1.2.3.4", "255.255.255.255", "256.1.1.1", "01.02.003.4",
+        "1.2.3.4.5", "12.34", "(555) 123-4567", "555-123-4567",
+        "+1 555.123.4567", "5551234567", "555 123 4567", "123-45-6789",
+        "word", "w0rd5", ".", "..", "@", "()", "-", " ", "12345678901234",
+        "a.b@c.d.e.fg", "ip:1.2.3.4,phone:555-123-4567;mail:a@b.io",
+    ]
+    strings = [
+        "".join(rng.choice(frags) for _ in range(rng.randrange(1, 6)))
+        for _ in range(500)
+    ]
+    df = spark.createDataFrame(list(enumerate(strings)), "i long, text string")
+    srows = {
+        r["i"]: r["red"]
+        for r in redact_pii(df, "text", out_col="red").collect()
+    }
+    con = duckdb.connect()
+    red_sql = "text"
+    for kind in ("email", "ipv4", "phone"):
+        red_sql = f"regexp_replace({red_sql}, ?, '<|{kind.upper()}|>', 'g')"
+    for i, s in enumerate(strings):
+        duck = con.execute(
+            f"select {red_sql} from (select ? as text)",
+            [PII_PATTERNS["email"], PII_PATTERNS["ipv4"], PII_PATTERNS["phone"], s],
+        ).fetchone()[0]
+        assert srows[i] == duck, (s, srows[i], duck)
+
+
+@pytest.mark.spark
 def test_pii_stats(spark):
     df = spark.createDataFrame([(i, s) for i, (s, _) in enumerate(CASES)], "i long, text string")
     stats = {r["kind"]: (r["total_matches"], r["docs_affected"]) for r in pii_stats(df, "text").collect()}
