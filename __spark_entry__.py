@@ -580,6 +580,37 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_latest_fetches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-recency dedup gate (r6): documents become deterministic
+    REFETCH FAMILIES of 4 (base url + utm variant + fragment variant +
+    explicit :443), each with its own timestamp;
+    ``latest_fetch_per_url`` must canonicalize the variants together
+    and keep exactly the family's latest row. The DuckDB oracle knows
+    the family from doc_id arithmetic (no canonicalization needed),
+    so a canonicalization bug that splits a family — or a window
+    tie-break drift — changes the kept set and mismatches."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.urls import latest_fetch_per_url
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(
+            "CASE doc_id % 4 "
+            " WHEN 0 THEN format_string('https://h%d.example.com/p%d', (doc_id div 4) % 40, doc_id div 4) "
+            " WHEN 1 THEN format_string('https://h%d.example.com/p%d?utm_source=x', (doc_id div 4) % 40, doc_id div 4) "
+            " WHEN 2 THEN format_string('https://h%d.example.com/p%d#top', (doc_id div 4) % 40, doc_id div 4) "
+            " ELSE format_string('https://h%d.example.com:443/p%d', (doc_id div 4) % 40, doc_id div 4) END"
+        ).alias("url"),
+        F.expr(
+            "format_string('2024-%02d-%02dT00:00:0%d', 1 + doc_id % 12, "
+            "1 + (doc_id * 5) % 28, doc_id % 10)"
+        ).alias("warc_ts"),
+    )
+    return latest_fetch_per_url(docs, "url", "warc_ts").select(
+        "doc_id", "url", "warc_ts"
+    ).orderBy("doc_id")
+
+
 def _q_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed PCA moments gate (r6): the one-pass per-partition
     (n, Σx, ΣxxT) aggregation of ``operators/embeddings.py`` against a
@@ -1216,6 +1247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_chunks": _q_packed_chunks,
         "main_text_extraction": _q_main_text_extraction,
         "doc_chunks": _q_doc_chunks,
+        "latest_fetches": _q_latest_fetches,
         "embedding_covariance": _q_embedding_covariance,
         "pca_projection_violations": _q_pca_projection_violations,
         "repetition_signals": _q_repetition_signals,
@@ -1490,6 +1522,26 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "latest_fetches": """
+            WITH built AS (
+              SELECT doc_id,
+                     CASE doc_id % 4
+                       WHEN 0 THEN printf('https://h%d.example.com/p%d', (doc_id // 4) % 40, doc_id // 4)
+                       WHEN 1 THEN printf('https://h%d.example.com/p%d?utm_source=x', (doc_id // 4) % 40, doc_id // 4)
+                       WHEN 2 THEN printf('https://h%d.example.com/p%d#top', (doc_id // 4) % 40, doc_id // 4)
+                       ELSE printf('https://h%d.example.com:443/p%d', (doc_id // 4) % 40, doc_id // 4) END AS url,
+                     printf('2024-%02d-%02dT00:00:0%d', 1 + doc_id % 12,
+                            1 + (doc_id * 5) % 28, doc_id % 10) AS warc_ts,
+                     doc_id // 4 AS fam
+              FROM documents
+            ), ranked AS (
+              SELECT doc_id, url, warc_ts,
+                     ROW_NUMBER() OVER (PARTITION BY fam
+                                        ORDER BY warc_ts DESC, url DESC) AS rk
+              FROM built
+            )
+            SELECT doc_id, url, warc_ts FROM ranked WHERE rk = 1 ORDER BY doc_id
+        """,
         "embedding_covariance": """
             WITH pos AS (SELECT UNNEST(range(1, 65)) AS p)
             SELECT p1.p AS i, p2.p AS j,

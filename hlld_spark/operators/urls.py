@@ -200,3 +200,37 @@ def write_urls_fixture(path: str, n: int = 400) -> str:
     )
     os.replace(tmp, path)
     return path
+
+
+def latest_fetch_per_url(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "warc_ts",
+    canonicalize: bool = True,
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Crawl-recency dedup: keep the LATEST fetch of each (canonical)
+    URL — the Common-Crawl-index convention for collapsing refetches
+    across crawls. With ``canonicalize`` the key is
+    :func:`canonical_url_col` (tracking params / fragments / default
+    ports collapse first), so the whole refetch FAMILY keeps one row.
+
+    Spark shape: one window rank over the canonical key (ONE exchange,
+    keyed by canonical url; rows carry their payload exactly once —
+    versus a groupBy-max + self-join, which would shuffle twice).
+    ``tie_break`` (a column name, e.g. the record offset) makes equal
+    timestamps deterministic; defaults to the raw url string.
+    """
+    from pyspark.sql import Window
+
+    key = canonical_url_col(F.col(url_col)) if canonicalize else F.col(url_col)
+    tb = F.col(tie_break) if tie_break else F.col(url_col)
+    w = Window.partitionBy(F.col("__canon")).orderBy(
+        F.col(ts_col).desc(), tb.desc()
+    )
+    return (
+        df.withColumn("__canon", key)
+        .withColumn("__rank", F.row_number().over(w))
+        .where(F.col("__rank") == 1)
+        .drop("__canon", "__rank")
+    )

@@ -98,3 +98,38 @@ def test_fixture_deterministic(tmp_path):
     assert any("#" in u for u in urls)
     assert any(":443" in u for u in urls)
     assert any("@" in u for u in urls)
+
+
+@pytest.mark.spark
+def test_latest_fetch_per_url(spark):
+    rows = [
+        ("https://ex.com/a?utm_source=x", "2024-01-01", "old"),
+        ("https://EX.com:443/a", "2024-03-01", "new"),
+        ("https://ex.com/a#frag", "2024-02-01", "mid"),
+        ("https://ex.com/b", "2024-01-15", "only"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string, tag string")
+    from hlld_spark.operators.urls import latest_fetch_per_url
+
+    kept = {r["tag"] for r in latest_fetch_per_url(df, "url", "warc_ts").collect()}
+    assert kept == {"new", "only"}
+    # without canonicalization every raw url is its own key
+    kept_raw = {
+        r["tag"]
+        for r in latest_fetch_per_url(df, "url", "warc_ts", canonicalize=False).collect()
+    }
+    assert kept_raw == {"old", "new", "mid", "only"}
+
+
+@pytest.mark.spark
+def test_latest_fetch_tie_break_deterministic(spark):
+    rows = [
+        ("https://ex.com/a?utm_source=x", "2024-01-01"),
+        ("https://ex.com/a#f", "2024-01-01"),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts string")
+    from hlld_spark.operators.urls import latest_fetch_per_url
+
+    out = [r["url"] for r in latest_fetch_per_url(df, "url", "warc_ts").collect()]
+    # equal timestamps: raw-url-desc tie break → the utm variant wins
+    assert out == ["https://ex.com/a?utm_source=x"]
