@@ -580,6 +580,43 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling gate (r6): keep 25% of en and
+    50% of de documents (everything else whole), membership = one
+    md5-prefix threshold per stratum (operators/sampling.py). md5 hex
+    is byte-identical across Spark and DuckDB, so the oracle checks
+    EXACT MEMBERSHIP, not counts — any hash-input, threshold-rounding
+    or stratum-dispatch drift changes the kept set."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.sampling import stratified_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        stratified_sample(
+            docs, "doc_id", "lang", {"en": 0.25, "de": 0.5}, seed=5
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+def _q_blocklist_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist (C4 bad-words stage) gate (r6): per-document match
+    counts for a 3-term blocklist, pure-Catalyst regexp_count with the
+    shared edge-aware-boundary pattern builder; the DuckDB oracle
+    counts with RE2 over the SAME pattern string (imported — no
+    drift)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.sampling import with_blocklist_hits
+
+    docs = _load(spark, sf_dir, "documents")
+    return (
+        with_blocklist_hits(docs, "text", ["join", "stream", "window"])
+        .select("doc_id", F.col("blocklist_hits").cast("long").alias("blocklist_hits"))
+        .orderBy("doc_id")
+    )
+
+
 def _q_latest_fetches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-recency dedup gate (r6): documents become deterministic
     REFETCH FAMILIES of 4 (base url + utm variant + fragment variant +
@@ -1247,6 +1284,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_chunks": _q_packed_chunks,
         "main_text_extraction": _q_main_text_extraction,
         "doc_chunks": _q_doc_chunks,
+        "stratified_sample_docs": _q_stratified_sample,
+        "blocklist_hits": _q_blocklist_hits,
         "latest_fetches": _q_latest_fetches,
         "embedding_covariance": _q_embedding_covariance,
         "pca_projection_violations": _q_pca_projection_violations,
@@ -1299,6 +1338,44 @@ def _pii_oracle_sql() -> str:
         .replace("__IPV4_RE__", PII_PATTERNS["ipv4"])
         .replace("__PHONE_RE__", PII_PATTERNS["phone"])
     )
+
+
+def _stratified_oracle_sql() -> str:
+    """DuckDB twin of _q_stratified_sample — thresholds come from the
+    SAME helper (imported, not copied)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from hlld_spark.operators.sampling import sample_threshold_hex
+
+    t_en = sample_threshold_hex(0.25)
+    t_de = sample_threshold_hex(0.5)
+    return f"""
+            SELECT doc_id, lang FROM documents
+            WHERE CASE
+              WHEN lang = 'en' THEN substr(md5(doc_id || ':5'), 1, 8) < '{t_en}'
+              WHEN lang = 'de' THEN substr(md5(doc_id || ':5'), 1, 8) < '{t_de}'
+              ELSE TRUE END
+            ORDER BY doc_id
+    """
+
+
+def _blocklist_oracle_sql() -> str:
+    """DuckDB twin of _q_blocklist_hits — the pattern string is built
+    by the SAME pattern builder (imported, not copied)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from hlld_spark.operators.sampling import blocklist_pattern
+
+    pat = "(?i)" + blocklist_pattern(["join", "stream", "window"])
+    return f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{pat}')) AS blocklist_hits
+            FROM documents ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1522,6 +1599,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "stratified_sample_docs": _stratified_oracle_sql(),
+        "blocklist_hits": _blocklist_oracle_sql(),
         "latest_fetches": """
             WITH built AS (
               SELECT doc_id,
