@@ -580,6 +580,40 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_kmeans_centroid_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed k-means fixpoint gate (r6), empty-exact: fit FULL
+    Lloyd (k=8, deterministic bottom-k-by-hash init) on the embeddings
+    table, assign every vector, and recompute each cluster's
+    per-dimension mean through a PURE-CATALYST posexplode/groupBy path
+    — a completely different aggregation machinery than the fit's
+    mapInPandas partials. Emit (cluster, dim) wherever the fitted
+    centroid disagrees with the recomputed mean beyond 1e-5, plus a
+    sentinel if Lloyd failed to converge. A partial-merge bug, an
+    empty-cluster slip, or assignment drift produces rows."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.embeddings import kmeans_assign, kmeans_fit
+
+    emb = _load(spark, sf_dir, "embeddings")
+    model = kmeans_fit(emb, "embedding", k=8)
+    bad: list[tuple[int, int, str]] = []
+    if not model["converged"]:
+        bad.append((-1, -1, "not_converged"))
+    assigned = kmeans_assign(emb, model, "embedding")
+    means = (
+        assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    for r in means:
+        want = model["centroids"][r["cluster"], r["dim"]]
+        if abs(want - r["m"]) > 1e-5:
+            bad.append((int(r["cluster"]), int(r["dim"]), "centroid_mean_mismatch"))
+    return spark.createDataFrame(
+        bad, "cluster long, dim long, reason string"
+    ).orderBy("cluster", "dim")
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling gate (r6): keep 25% of en and
     50% of de documents (everything else whole), membership = one
@@ -1284,6 +1318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_chunks": _q_packed_chunks,
         "main_text_extraction": _q_main_text_extraction,
         "doc_chunks": _q_doc_chunks,
+        "kmeans_centroid_violations": _q_kmeans_centroid_violations,
         "stratified_sample_docs": _q_stratified_sample,
         "blocklist_hits": _q_blocklist_hits,
         "latest_fetches": _q_latest_fetches,
@@ -1599,6 +1634,10 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "kmeans_centroid_violations": """
+            SELECT CAST(NULL AS BIGINT) AS cluster, CAST(NULL AS BIGINT) AS dim,
+                   CAST(NULL AS VARCHAR) AS reason WHERE 1 = 0
+        """,
         "stratified_sample_docs": _stratified_oracle_sql(),
         "blocklist_hits": _blocklist_oracle_sql(),
         "latest_fetches": """

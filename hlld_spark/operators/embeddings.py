@@ -110,6 +110,129 @@ def fit_pca(
     }
 
 
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    k: int = 8,
+    max_iter: int = 50,
+    tol: float = 1e-7,
+) -> dict:
+    """FULL distributed Lloyd k-means (not the sampled driver-side fit
+    IVF uses): every iteration is one distributed pass emitting
+    per-partition (count, Σx) partials PER CLUSTER — k×(d+1) doubles
+    per partition, the same bounded-collect contract as
+    :func:`embedding_moments` — with centroids broadcast back as
+    closure constants. Deterministic throughout: init = bottom-k rows
+    by ``xxhash64(vec)`` (one TakeOrderedAndProject pass, spans every
+    partition of a cluster-sorted corpus — the IVF de-biasing trick),
+    ties and empty clusters keep the previous centroid. Returns
+    {centroids (k,d), inertia, n_iter, converged}."""
+    from pyspark.sql.types import ArrayType, DoubleType, LongType, StructField, StructType
+
+    first = (
+        df.select(F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64(F.col("v").cast("array<float>")))
+        .limit(k)
+        .collect()
+    )
+    if len(first) < k:
+        raise ValueError(f"need at least k={k} rows")
+    cents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in first])
+    d = cents.shape[1]
+
+    schema = StructType(
+        [
+            StructField("cluster", LongType(), False),
+            StructField("n", LongType(), False),
+            StructField("sums", ArrayType(DoubleType(), False), False),
+            StructField("inertia", DoubleType(), False),
+        ]
+    )
+    converged = False
+    inertia = float("nan")
+    it = 0
+    for it in range(1, max_iter + 1):
+        c = cents  # bind for closure
+
+        def partials(batches):
+            counts = np.zeros(len(c), dtype=np.int64)
+            sums = np.zeros_like(c)
+            sse = 0.0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+                d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(-1)
+                a = d2.argmin(1)
+                sse += d2[np.arange(len(x)), a].sum()
+                np.add.at(counts, a, 1)
+                np.add.at(sums, a, x)
+            for j in range(len(c)):
+                yield pd.DataFrame(
+                    {
+                        "cluster": [j],
+                        "n": [int(counts[j])],
+                        "sums": [sums[j]],
+                        "inertia": [sse if j == 0 else 0.0],
+                    }
+                )
+
+        rows = df.select(F.col(vec_col).alias("v")).mapInPandas(
+            partials, schema=schema
+        ).collect()
+        counts = np.zeros(k, dtype=np.int64)
+        sums = np.zeros((k, d))
+        inertia = 0.0
+        for r in rows:
+            counts[r["cluster"]] += r["n"]
+            sums[r["cluster"]] += np.asarray(r["sums"])
+            inertia += r["inertia"]
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / counts[nz][:, None]
+        shift = float(np.abs(new - cents).max())
+        cents = new
+        if shift < tol:
+            converged = True
+            break
+    return {
+        "centroids": cents,
+        "inertia": float(inertia),
+        "n_iter": it,
+        "converged": converged,
+    }
+
+
+def kmeans_assign(
+    df: DataFrame,
+    model_or_centroids,
+    vec_col: str = "embedding",
+    out_col: str = "cluster",
+) -> DataFrame:
+    """Nearest-centroid assignment (+``<out_col>_sq_dist``) — one
+    batched distance matmul per Arrow batch, centroids broadcast as
+    closure constants."""
+    from pyspark.sql.types import LongType
+
+    cents = (
+        model_or_centroids["centroids"]
+        if isinstance(model_or_centroids, dict)
+        else np.asarray(model_or_centroids, dtype=np.float64)
+    )
+
+    @F.pandas_udf("struct<c: long, d2: double>")
+    def _assign(v: pd.Series) -> pd.DataFrame:
+        x = np.stack(v.to_numpy()).astype(np.float64)
+        d2 = ((x[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+        a = d2.argmin(1)
+        return pd.DataFrame({"c": a, "d2": d2[np.arange(len(x)), a]})
+
+    tmp = df.withColumn("__a", _assign(F.col(vec_col)))
+    return tmp.withColumn(out_col, F.col("__a.c")).withColumn(
+        f"{out_col}_sq_dist", F.col("__a.d2")
+    ).drop("__a")
+
+
 def with_reconstruction_sq_error(
     df: DataFrame,
     model: dict,

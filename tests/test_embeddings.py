@@ -72,3 +72,74 @@ def test_whitening_gives_identity_covariance(spark):
     w = project_embeddings(df, model, whiten=True)
     y = np.stack([np.array(r["pca"], dtype=np.float64) for r in w.collect()])
     np.testing.assert_allclose(np.cov(y.T, bias=True), np.eye(8), atol=1e-3)
+
+
+def _blob_data(spark, n_per=60, k=4, d=8, seed=5, parts=6):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(scale=10.0, size=(k, d))
+    pts = np.concatenate(
+        [centers[j] + rng.normal(scale=0.3, size=(n_per, d)) for j in range(k)]
+    )
+    rows = [(i, pts[i].astype("float32").tolist()) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(parts)
+    return df, pts, centers
+
+
+@pytest.mark.spark
+def test_kmeans_recovers_blobs(spark):
+    from hlld_spark.operators.embeddings import kmeans_assign, kmeans_fit
+
+    df, pts, centers = _blob_data(spark)
+    model = kmeans_fit(df, k=4)
+    assert model["converged"]
+    # every true center has a fitted centroid within a fraction of the
+    # inter-center distance
+    import numpy as np
+
+    for c in centers:
+        assert np.abs(model["centroids"] - c).sum(axis=1).min() < 1.5
+    out = kmeans_assign(df, model)
+    rows = out.collect()
+    # points generated from the same blob land in the same cluster
+    by_blob = {}
+    for r in rows:
+        by_blob.setdefault(r["vec_id"] // 60, set()).add(r["cluster"])
+    assert all(len(s) == 1 for s in by_blob.values())
+    # inertia equals the sum of assigned sq dists
+    total = sum(r["cluster_sq_dist"] for r in rows)
+    assert total == pytest.approx(model["inertia"], rel=1e-6)
+
+
+@pytest.mark.spark
+def test_kmeans_partition_invariance(spark):
+    from hlld_spark.operators.embeddings import kmeans_fit
+    import numpy as np
+
+    df, _, _ = _blob_data(spark, parts=3)
+    m1 = kmeans_fit(df, k=4)
+    m2 = kmeans_fit(df.repartition(11), k=4)
+    np.testing.assert_allclose(m1["centroids"], m2["centroids"], rtol=1e-9, atol=1e-9)
+
+
+@pytest.mark.spark
+def test_kmeans_centroids_are_cluster_means(spark):
+    """Cross-check the mapInPandas partials against a pure-Catalyst
+    explode/groupBy mean of the final assignment."""
+    from hlld_spark.operators.embeddings import kmeans_assign, kmeans_fit
+    import numpy as np
+
+    df, _, _ = _blob_data(spark)
+    model = kmeans_fit(df, k=4)
+    assigned = kmeans_assign(df, model)
+    means = (
+        assigned.select("cluster", F.posexplode("embedding").alias("dim", "val"))
+        .groupBy("cluster", "dim")
+        .agg(F.avg("val").alias("m"))
+        .collect()
+    )
+    for r in means:
+        assert model["centroids"][r["cluster"], r["dim"]] == pytest.approx(
+            r["m"], abs=1e-5
+        )
