@@ -12,8 +12,10 @@ one lineage:
                              pointer jumping or exact connected components) [optional]
     3. decontamination      (n-gram overlap vs an eval/benchmark table) [optional]
     4. quality + repetition (pure-Catalyst scores, thresholds)
+    4a. blocklist filter    (C4-style bad-words drop) [optional]
     4b. perplexity filter   (self-scored stupid-backoff trigram LM) [optional]
     5. language filter      (trigram-profile natural-text lang-id) [optional]
+    5b. stratified sampling (deterministic per-lang keep fractions) [optional]
     6. PII scrub            (email/IPv4/phone redaction + audit totals) [optional]
 
 Writes the cleaned table (Iceberg when available, partitioned parquet
@@ -126,6 +128,21 @@ def main() -> None:
         "column with placeholder tokens (operators/pii.py); match "
         "totals are recorded in the metrics JSON",
     )
+    ap.add_argument(
+        "--blocklist", default=None,
+        help="comma-separated blocklist terms (C4 bad-words stage): "
+        "drop docs with more than --blocklist-max-hits matches",
+    )
+    ap.add_argument("--blocklist-max-hits", type=int, default=0)
+    ap.add_argument(
+        "--stratified-sample", default=None,
+        help="per-lang keep fractions 'en=0.1,de=0.5' (unlisted langs "
+        "keep everything) — deterministic md5-threshold membership on "
+        "the id column; requires --langs' lang_id column or a lang "
+        "column named by --strata-col",
+    )
+    ap.add_argument("--strata-col", default="lang")
+    ap.add_argument("--sample-seed", type=int, default=0)
     ap.add_argument("--langs", default=None, help="comma-separated lang allowlist (profile lang-id)")
     ap.add_argument("--partition-by", default=None, help="comma-separated output partition columns")
     ap.add_argument("--cpus", type=int, default=None, help="local mode cores (omit under spark-submit)")
@@ -186,6 +203,8 @@ def main() -> None:
         args.langs, args.canonicalize_urls, args.near_dup_mode,
         args.extract_main_text, args.html_col,
         args.max_ppl, args.min_ppl, args.ppl_min_count, args.redact_pii,
+        args.blocklist, args.blocklist_max_hits, args.stratified_sample,
+        args.strata_col, args.sample_seed,
         _input_fingerprint(args.input),
         _input_fingerprint(args.eval_table) if args.eval_table else None,
     ]
@@ -210,8 +229,10 @@ def main() -> None:
         + (["near_dup_dedup"] if args.near_dup else [])
         + (["decontaminate"] if args.eval_table else [])
         + ["quality_filter"]
+        + (["blocklist_filter"] if args.blocklist else [])
         + (["ppl_filter"] if args.max_ppl is not None else [])
         + (["lang_filter"] if args.langs else [])
+        + (["stratified_sample"] if args.stratified_sample else [])
         + (["redact_pii"] if args.redact_pii else [])
     )
     # resume only a PREFIX of completed stages — an orphan checkpoint of
@@ -369,6 +390,19 @@ def main() -> None:
         f"quality>={args.min_quality}, dup_word_ratio<={args.max_dup_word_ratio}",
     )
 
+    # 4a. blocklist filter (optional): C4-style bad-words drop
+    if args.blocklist:
+        from hlld_spark.operators.sampling import filter_blocklist
+
+        terms = [t.strip() for t in args.blocklist.split(",") if t.strip()]
+        run_stage(
+            "blocklist_filter",
+            lambda d: filter_blocklist(
+                d, args.text_col, terms, max_hits=args.blocklist_max_hits
+            ),
+            f"{len(terms)} terms, max_hits={args.blocklist_max_hits}",
+        )
+
     # 4b. perplexity filter (optional): stupid-backoff trigram LM
     # self-trained on the SURVIVORS so far — boilerplate scores too low,
     # noise too high
@@ -393,6 +427,23 @@ def main() -> None:
             "lang_filter",
             lambda d: with_lang_id_profiles(d, args.text_col).filter(F.col("lang_id").isin(allow)),
             f"allow {allow}",
+        )
+
+    # 5b. stratified down-sampling (optional): deterministic per-lang
+    # keep fractions — md5-threshold membership, rerun-stable
+    if args.stratified_sample:
+        from hlld_spark.operators.sampling import stratified_sample
+
+        fracs = {}
+        for part in args.stratified_sample.split(","):
+            lang_v, frac = part.split("=")
+            fracs[lang_v.strip()] = float(frac)
+        run_stage(
+            "stratified_sample",
+            lambda d: stratified_sample(
+                d, args.id_col, args.strata_col, fracs, seed=args.sample_seed
+            ),
+            f"{fracs} on {args.strata_col} (seed {args.sample_seed})",
         )
 
     # 6. PII scrub (optional, row-preserving): redact + audit totals

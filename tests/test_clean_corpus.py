@@ -247,6 +247,56 @@ def test_pipeline_ppl_filter_pii_redaction_cc_mode(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_pipeline_blocklist_and_stratified_sample(spark, tmp_path):
+    """r6: --blocklist drops bad-term docs; --stratified-sample keeps a
+    deterministic md5-threshold subset per lang."""
+    import hashlib
+
+    rows = []
+    for i in range(40):
+        lang = "en" if i % 2 else "de"
+        text = f"clean document body number {i} with plain words here"
+        if i in (3, 7):
+            text += " badword inside"
+        rows.append((f"https://ex.com/{i}", text, lang))
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string, lang string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", inp, "--id-col", "url", "--text-col", "text",
+            "--blocklist", "badword,otherbad",
+            "--stratified-sample", "en=0.5", "--strata-col", "lang",
+            "--sample-seed", "3",
+            "--min-quality", "0.0", "--max-dup-word-ratio", "1.0",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.load(open(metrics_path))
+    stages = {s["stage"]: s for s in m["stages"]}
+    assert stages["blocklist_filter"]["removed"] == 2
+    kept = {(r["url"], r["lang"]) for r in spark.read.parquet(out).collect()}
+    # all de rows (minus blocklisted) survive; en rows follow the
+    # md5-threshold membership exactly
+    from hlld_spark.operators.sampling import sample_threshold_hex
+
+    thr = sample_threshold_hex(0.5)
+    for url, text, lang in rows:
+        if "badword" in text:
+            assert (url, lang) not in kept
+        elif lang == "de":
+            assert (url, lang) in kept
+        else:
+            want = hashlib.md5(f"{url}:3".encode()).hexdigest()[:8] < thr
+            assert ((url, lang) in kept) == want, url
+
+
+@pytest.mark.spark
 def test_pipeline_extract_main_text_stage(spark, tmp_path):
     """r6: --extract-main-text derives the text column from html via the
     boilerplate classifier before dedup/quality."""
