@@ -866,6 +866,26 @@ def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring REMOVAL gate (r6) — the full Lee et al. dedup
+    semantic: every maximal merged run of positions whose 25-char
+    substring occurs in ≥2 distinct docs is cut from the text. Spark
+    side = position-bearing gram stream → hot-gram join →
+    gaps-and-islands interval merge → Catalyst ``aggregate`` string
+    surgery (operators/dedup.py::remove_duplicated_spans, zero Python
+    past the shared gram kernel); the DuckDB oracle rebuilds the kept
+    text from literal substrings with its own islands + STRING_AGG
+    reassembly. Full-string equality on every document."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.dedup import remove_duplicated_spans
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = remove_duplicated_spans(docs, "doc_id", "text", span=25)
+    return out.select(
+        "doc_id", F.col("text").alias("scrubbed"), F.length("text").alias("n_chars")
+    ).orderBy("doc_id")
+
+
 def _q_dup_span_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring duplicate CLUSTERS (r6): docs sharing any 25-char
     substring — transitively, through any chain length — get one
@@ -1313,6 +1333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_top_docs": _q_bm25_top_docs,
         "duplicated_spans": _q_duplicated_spans,
         "dup_span_clusters": _q_dup_span_clusters,
+        "span_scrubbed_docs": _q_span_scrubbed_docs,
         "pii_redaction": _q_pii_redaction,
         "lm_perplexity": _q_lm_perplexity,
         "packed_chunks": _q_packed_chunks,
@@ -1751,6 +1772,50 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(LOG10(s)), 4) AS avg_logp,
                    ROUND(POW(10.0, -AVG(LOG10(s))), 4) AS ppl
             FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        "span_scrubbed_docs": """
+            WITH w AS (
+              SELECT doc_id, i - 1 AS pos, substr(text, i, 25) AS g
+              FROM documents,
+                   LATERAL (SELECT UNNEST(range(1, length(text) - 25 + 2)) AS i)
+              WHERE length(text) >= 25
+            ), hot AS (
+              SELECT g FROM w GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+            ), flagged AS (
+              SELECT doc_id, pos FROM w JOIN hot USING (g)
+            ), isl AS (
+              SELECT doc_id, pos,
+                     CASE WHEN pos > COALESCE(MAX(pos + 25) OVER (
+                       PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                     THEN 1 ELSE 0 END AS ni
+              FROM flagged
+            ), isl2 AS (
+              SELECT doc_id, pos,
+                     SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+              FROM isl
+            ), iv AS (
+              SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + 25 AS e
+              FROM isl2 GROUP BY doc_id, island
+            ), gaps AS (
+              SELECT doc_id,
+                     COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS gs,
+                     s AS ge
+              FROM iv
+              UNION ALL
+              SELECT doc_id, MAX(e) AS gs, NULL AS ge FROM iv GROUP BY doc_id
+            ), rebuilt AS (
+              SELECT g.doc_id,
+                     STRING_AGG(substr(d.text, gs + 1,
+                                       COALESCE(ge, length(d.text)) - gs),
+                                '' ORDER BY gs) AS kept
+              FROM gaps g JOIN documents d USING (doc_id)
+              GROUP BY g.doc_id
+            )
+            SELECT d.doc_id, COALESCE(r.kept, d.text) AS scrubbed,
+                   LENGTH(COALESCE(r.kept, d.text)) AS n_chars
+            FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+            ORDER BY doc_id
         """,
         "dup_span_clusters": """
             WITH RECURSIVE w AS (

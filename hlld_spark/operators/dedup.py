@@ -1025,16 +1025,23 @@ def embedding_cosine_dedup(
 
 
 def _span_gram_stream(
-    df: DataFrame, id_col: str, text_col: str, span: int, stride: int = 1
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int,
+    stride: int = 1,
+    with_pos: bool = False,
 ) -> DataFrame:
-    """(id, gram_hash) stream of every ``stride``-th position's
+    """(id, gram_hash[, pos]) stream of every ``stride``-th position's
     ``span``-char substring hash, via the vectorized char-shingle
-    kernel. Shared by :func:`duplicated_span_counts` and
+    kernel (``pos`` is the 0-based char offset). Shared by
+    :func:`duplicated_span_counts`, :func:`remove_duplicated_spans` and
     :func:`hlld_spark.operators.cluster.span_dup_edges`; callers
     repartition by ``gram_hash`` and reuse that clustering."""
-    schema = StructType(
-        [df.schema[id_col], StructField("gram_hash", LongType(), False)]
-    )
+    fields = [df.schema[id_col], StructField("gram_hash", LongType(), False)]
+    if with_pos:
+        fields.append(StructField("pos", LongType(), False))
+    schema = StructType(fields)
 
     def grams_fn(batches):
         for pdf in batches:
@@ -1049,15 +1056,18 @@ def _span_gram_stream(
             keep[starts[lens < span]] = False
             ids = np.repeat(pdf[id_col].to_numpy(), out_counts)[keep]
             hh = h[keep]
+            pos = np.arange(len(hh)) - np.repeat(
+                np.concatenate(([0], np.cumsum(counts)))[:-1][lens >= span],
+                counts[lens >= span],
+            )
             if stride > 1:
                 # per-doc position sampling: positions (p % stride == 0)
-                pos = np.arange(len(hh)) - np.repeat(
-                    np.concatenate(([0], np.cumsum(counts)))[:-1][lens >= span],
-                    counts[lens >= span],
-                )
                 sel = pos % stride == 0
-                ids, hh = ids[sel], hh[sel]
-            yield pd.DataFrame({id_col: ids, "gram_hash": hh.astype(np.int64)})
+                ids, hh, pos = ids[sel], hh[sel], pos[sel]
+            out = {id_col: ids, "gram_hash": hh.astype(np.int64)}
+            if with_pos:
+                out["pos"] = pos.astype(np.int64)
+            yield pd.DataFrame(out)
 
     return df.select(id_col, text_col).mapInPandas(grams_fn, schema=schema)
 
@@ -1104,3 +1114,105 @@ def duplicated_span_counts(
         F.col("nd") >= min_docs
     )
     return flagged.groupBy(id_col).agg(F.sum("n_pos").alias("dup_positions"))
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span: int = 50,
+    min_docs: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """EXACT-substring deduplication with REMOVAL — the full Lee et al.
+    2022 semantic: every maximal run of positions whose ``span``-char
+    substring occurs in ≥ ``min_docs`` distinct documents is CUT from
+    the text (not just counted — see :func:`duplicated_span_counts`
+    for the signal-only variant). Returns ``df`` with ``out_col``
+    (default: ``text_col`` replaced) holding the surgered text.
+
+    Relational shape, zero Python past the shared gram kernel:
+
+      1. position-bearing gram stream, ONE gram-hash exchange; the
+         docs-per-gram window reuses the clustering (same plan family
+         as ``duplicated_span_counts``);
+      2. flagged (id, pos) positions → cut intervals [pos, pos+span)
+         merged per doc with the gaps-and-islands window (running
+         max-end over pos order — handles nesting and overlap);
+      3. per-doc sorted interval arrays (bounded by len(text)/1) join
+         back to the docs;
+      4. the string surgery itself is a Catalyst ``aggregate`` over the
+         interval array: fold (prev_end, acc) emitting the substring
+         BETWEEN intervals, finished with the tail — whole-stage
+         codegen, no UDF.
+
+    Positions are 0-based internally; SQL oracles should use 1-based
+    ``substr`` with start ``pos+1``. ``stride`` is deliberately not a
+    parameter: removal needs every position.
+    """
+    from pyspark.sql import Window
+
+    out_col = out_col or text_col
+    grams = _span_gram_stream(
+        df, id_col, text_col, span, stride=1, with_pos=True
+    ).repartition(F.col("gram_hash"))
+    # docs-per-gram via partial-aggregated groupBy + join — BOTH reuse
+    # the gram_hash repartition (a collect_set window would buffer a
+    # hot gram's entire occurrence list per row)
+    hot = (
+        grams.groupBy("gram_hash")
+        .agg(F.count_distinct(F.col(id_col)).alias("nd"))
+        .where(F.col("nd") >= min_docs)
+        .select("gram_hash")
+    )
+    flagged = grams.join(hot, "gram_hash")
+
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    prev_max_end = F.max(F.col("pos") + span).over(
+        w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = (
+        flagged.select(id_col, "pos")
+        .withColumn(
+            "new_island",
+            F.when(
+                prev_max_end.isNull() | (F.col("pos") > prev_max_end), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(
+                w_doc.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+    )
+    intervals = islands.groupBy(id_col, "island").agg(
+        F.min("pos").alias("start"),
+        (F.max("pos") + span).alias("end"),
+    )
+    per_doc = intervals.groupBy(id_col).agg(
+        F.sort_array(F.collect_list(F.struct("start", "end"))).alias("__cuts")
+    )
+
+    joined = df.join(per_doc, id_col, "left")
+    text = F.col(text_col)
+    surgered = F.aggregate(
+        F.col("__cuts"),
+        F.struct(F.lit(0).cast("long").alias("prev"), F.lit("").alias("s")),
+        lambda acc, iv: F.struct(
+            iv["end"].alias("prev"),
+            F.concat(
+                acc["s"],
+                F.substring(
+                    text, (acc["prev"] + 1).cast("int"),
+                    (iv["start"] - acc["prev"]).cast("int"),
+                ),
+            ).alias("s"),
+        ),
+        lambda acc: F.concat(
+            acc["s"], F.substring(text, (acc["prev"] + 1).cast("int"), F.length(text))
+        ),
+    )
+    return joined.withColumn(
+        out_col, F.when(F.col("__cuts").isNull(), text).otherwise(surgered)
+    ).drop("__cuts")

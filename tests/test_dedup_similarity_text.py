@@ -980,3 +980,102 @@ def test_duplicated_span_stride_samples_positions(spark):
     import math
 
     assert s3 == {1: math.ceil(n_pos / 3), 2: math.ceil(n_pos / 3)}
+
+
+# ---------------------------------------------------------------------------
+# remove_duplicated_spans (r6)
+# ---------------------------------------------------------------------------
+
+
+def _ref_remove_spans(texts, span, min_docs):
+    """Pure-python reference: flag positions whose span-gram occurs in
+    >= min_docs distinct docs, merge [p, p+span) intervals, cut."""
+    from collections import defaultdict
+
+    owners = defaultdict(set)
+    for i, t in texts.items():
+        for p in range(max(len(t) - span + 1, 0)):
+            owners[t[p : p + span]].add(i)
+    out = {}
+    for i, t in texts.items():
+        flag = [
+            p
+            for p in range(max(len(t) - span + 1, 0))
+            if len(owners[t[p : p + span]]) >= min_docs
+        ]
+        cut = [False] * len(t)
+        for p in flag:
+            for j in range(p, min(p + span, len(t))):
+                cut[j] = True
+        out[i] = "".join(ch for ch, c in zip(t, cut) if not c)
+    return out
+
+
+@pytest.mark.spark
+def test_remove_duplicated_spans_hand_case(spark):
+    from hlld_spark.operators.dedup import remove_duplicated_spans
+
+    shared = "AAAAAAAAAABBBBBBBBBB"
+    rows = [
+        (1, "xx" + shared + "yy"),
+        (2, "pp" + shared + "qq" + shared + "rr"),
+        (3, "totally unique text here ok"),
+        (4, "sh"),  # shorter than span
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, "doc_id", "text", span=10).collect()
+    }
+    assert got == {1: "xxyy", 2: "ppqqrr", 3: "totally unique text here ok", 4: "sh"}
+
+
+@pytest.mark.spark
+def test_remove_duplicated_spans_random_matches_reference(spark):
+    import random
+
+    from hlld_spark.operators.dedup import remove_duplicated_spans
+
+    rng = random.Random(0xDED0)
+    shared_blocks = ["".join(rng.choice("abcd") for _ in range(25)) for _ in range(4)]
+    texts = {}
+    for i in range(30):
+        parts = []
+        for _ in range(rng.randrange(1, 5)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(shared_blocks))
+            else:
+                parts.append("".join(rng.choice("wxyz") for _ in range(rng.randrange(3, 30))))
+        texts[i] = "".join(parts)
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(df, "doc_id", "text", span=12).collect()
+    }
+    want = _ref_remove_spans(texts, 12, 2)
+    assert got == want
+
+
+@pytest.mark.spark
+def test_remove_duplicated_spans_out_col_and_nested_overlap(spark):
+    from hlld_spark.operators.dedup import remove_duplicated_spans
+
+    # overlapping flagged regions in ONE doc against two partners:
+    # intervals must merge through the running-max-end island logic
+    a = "0123456789"
+    b = "abcdefghij"
+    rows = [
+        (1, a + b + "TAIL"),
+        (2, "x" + a + "x"),
+        (3, "y" + b + "y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        r["doc_id"]: (r["text"], r["clean"])
+        for r in remove_duplicated_spans(
+            df, "doc_id", "text", span=10, out_col="clean"
+        ).collect()
+    }
+    # doc1: both halves cut (adjacent intervals merge), TAIL survives
+    assert got[1] == (a + b + "TAIL", "TAIL")
+    assert got[2][1] == "xx" and got[3][1] == "yy"
