@@ -11,6 +11,7 @@ one lineage:
     2. near-dup dedup       (MinHash LSH + pairwise bucket verify; closure =
                              pointer jumping or exact connected components) [optional]
     3. decontamination      (n-gram overlap vs an eval/benchmark table) [optional]
+    3b. span removal        (cut cross-doc duplicated substrings, Lee et al.) [optional]
     4. quality + repetition (pure-Catalyst scores, thresholds)
     4a. blocklist filter    (C4-style bad-words drop) [optional]
     4b. perplexity filter   (self-scored stupid-backoff trigram LM) [optional]
@@ -129,6 +130,13 @@ def main() -> None:
         "totals are recorded in the metrics JSON",
     )
     ap.add_argument(
+        "--remove-dup-spans", type=int, default=None, metavar="SPAN",
+        help="cut every SPAN-char substring occurring in >=2 docs from "
+        "the text (Lee et al. exact-substring dedup with REMOVAL; "
+        "operators/dedup.py::remove_duplicated_spans) — runs after "
+        "exact/near-dup dedup, before quality scoring",
+    )
+    ap.add_argument(
         "--blocklist", default=None,
         help="comma-separated blocklist terms (C4 bad-words stage): "
         "drop docs with more than --blocklist-max-hits matches",
@@ -204,7 +212,7 @@ def main() -> None:
         args.extract_main_text, args.html_col,
         args.max_ppl, args.min_ppl, args.ppl_min_count, args.redact_pii,
         args.blocklist, args.blocklist_max_hits, args.stratified_sample,
-        args.strata_col, args.sample_seed,
+        args.strata_col, args.sample_seed, args.remove_dup_spans,
         _input_fingerprint(args.input),
         _input_fingerprint(args.eval_table) if args.eval_table else None,
     ]
@@ -228,6 +236,7 @@ def main() -> None:
         + ["exact_dedup"]
         + (["near_dup_dedup"] if args.near_dup else [])
         + (["decontaminate"] if args.eval_table else [])
+        + (["remove_dup_spans"] if args.remove_dup_spans else [])
         + ["quality_filter"]
         + (["blocklist_filter"] if args.blocklist else [])
         + (["ppl_filter"] if args.max_ppl is not None else [])
@@ -378,6 +387,19 @@ def main() -> None:
             "decontaminate",
             decon,
             f"{args.decontaminate_n}-{args.decontaminate_unit}-gram overlap vs {args.eval_table}",
+        )
+
+    # 3b. exact-substring span removal (optional, row-preserving):
+    # boilerplate passages shared across documents get CUT
+    if args.remove_dup_spans:
+        from hlld_spark.operators.dedup import remove_duplicated_spans
+
+        run_stage(
+            "remove_dup_spans",
+            lambda d: remove_duplicated_spans(
+                d, args.id_col, args.text_col, span=args.remove_dup_spans
+            ),
+            f"cut {args.remove_dup_spans}-char spans shared by >=2 docs",
         )
 
     # 4. quality + repetition thresholds (pure Catalyst — no extra pass)

@@ -247,6 +247,39 @@ def test_pipeline_ppl_filter_pii_redaction_cc_mode(spark, tmp_path):
 
 
 @pytest.mark.spark
+def test_pipeline_remove_dup_spans_stage(spark, tmp_path):
+    """r6: --remove-dup-spans cuts cross-doc shared passages in place."""
+    boiler = "SUBSCRIBE TO OUR NEWSLETTER FOR DAILY UPDATES NOW"
+    rows = [
+        (f"https://ex.com/{i}",
+         f"unique article body number {i} with its own words " + boiler)
+        for i in range(5)
+    ]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", inp, "--id-col", "url", "--text-col", "text",
+            "--remove-dup-spans", "30",
+            "--min-quality", "0.0", "--max-dup-word-ratio", "1.0",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    got = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert len(got) == 5
+    for i in range(5):
+        t = got[f"https://ex.com/{i}"]
+        assert boiler not in t
+        assert f"unique article body number {i}" in t
+
+
+@pytest.mark.spark
 def test_pipeline_blocklist_and_stratified_sample(spark, tmp_path):
     """r6: --blocklist drops bad-term docs; --stratified-sample keeps a
     deterministic md5-threshold subset per lang."""
