@@ -580,6 +580,35 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_bpe_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer gate (r6), empty-exact: train 300 merges on the
+    documents table (one distributed word-count pass + driver-side
+    merge learning — operators/bpe.py), encode EVERY document
+    distributed, decode with the pure-Catalyst inverse, and emit every
+    doc whose decode differs from its normalized token stream (plus
+    docs whose token list leaks a malformed ``</w>`` marker). A merge
+    bug, rank-order slip in the encoder, or memoization bug produces
+    rows."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.bpe import END, bpe_decode_col, bpe_encode, bpe_train
+    from hlld_spark.operators.ranking import tokens_col
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    model = bpe_train(docs, "text", n_merges=300)
+    enc = bpe_encode(docs, "text", model)
+    norm = F.array_join(tokens_col("text"), " ")
+    bad_marker = F.exists(
+        "bpe_tokens",
+        lambda t: t.contains(END) & ~t.endswith(END),
+    )
+    return (
+        enc.withColumn("decoded", bpe_decode_col(F.col("bpe_tokens")))
+        .where((F.col("decoded") != norm) | bad_marker)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
 def _q_kmeans_centroid_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed k-means fixpoint gate (r6), empty-exact: fit FULL
     Lloyd (k=8, deterministic bottom-k-by-hash init) on the embeddings
@@ -1339,6 +1368,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_chunks": _q_packed_chunks,
         "main_text_extraction": _q_main_text_extraction,
         "doc_chunks": _q_doc_chunks,
+        "bpe_roundtrip_violations": _q_bpe_roundtrip_violations,
         "kmeans_centroid_violations": _q_kmeans_centroid_violations,
         "stratified_sample_docs": _q_stratified_sample,
         "blocklist_hits": _q_blocklist_hits,
@@ -1655,6 +1685,9 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "bpe_roundtrip_violations": """
+            SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0
+        """,
         "kmeans_centroid_violations": """
             SELECT CAST(NULL AS BIGINT) AS cluster, CAST(NULL AS BIGINT) AS dim,
                    CAST(NULL AS VARCHAR) AS reason WHERE 1 = 0
