@@ -580,6 +580,40 @@ def _q_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicated_span_counts(docs, "doc_id", "text", span=25).orderBy("doc_id")
 
 
+def _q_events_asof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join gate (r6): every event matched to the same user's
+    latest order ON OR BEFORE the event date. Spark side is the
+    union-window formulation of ``operators/temporal.py`` (ONE keyed
+    exchange, no join node — plan-asserted in pytest); the DuckDB
+    oracle uses its NATIVE ``ASOF LEFT JOIN`` over the identically
+    tie-collapsed right side. 10k rows, NULLs included — ordering,
+    equal-date inclusion and tie handling all hash-checked."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.temporal import asof_join
+
+    events = _load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.to_date("ts").alias("event_date")
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("order_date"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    out = asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="event_date",
+        right_ts="order_date",
+        right_cols=["o_orderkey", "o_totalprice"],
+        tie_col="o_orderkey",
+    )
+    return out.select(
+        "event_id", "user_id", "event_date", "o_orderkey", "o_totalprice"
+    ).orderBy("event_id")
+
+
 def _q_bpe_roundtrip_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE tokenizer gate (r6), empty-exact: train 300 merges on the
     documents table (one distributed word-count pass + driver-side
@@ -1368,6 +1402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "packed_chunks": _q_packed_chunks,
         "main_text_extraction": _q_main_text_extraction,
         "doc_chunks": _q_doc_chunks,
+        "events_asof_orders": _q_events_asof_orders,
         "bpe_roundtrip_violations": _q_bpe_roundtrip_violations,
         "kmeans_centroid_violations": _q_kmeans_centroid_violations,
         "stratified_sample_docs": _q_stratified_sample,
@@ -1685,6 +1720,20 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY doc_id ORDER BY doc_id
         """,
         "pii_redaction": _pii_oracle_sql(),
+        "events_asof_orders": """
+            WITH r AS (
+              SELECT o_custkey AS user_id, o_orderdate AS order_date,
+                     MAX(o_orderkey) AS o_orderkey,
+                     ARG_MAX(o_totalprice, o_orderkey) AS o_totalprice
+              FROM orders GROUP BY 1, 2
+            )
+            SELECT e.event_id, e.user_id, CAST(e.ts AS DATE) AS event_date,
+                   r.o_orderkey, r.o_totalprice
+            FROM events e
+            ASOF LEFT JOIN r
+              ON e.user_id = r.user_id AND CAST(e.ts AS DATE) >= r.order_date
+            ORDER BY event_id
+        """,
         "bpe_roundtrip_violations": """
             SELECT CAST(NULL AS BIGINT) AS doc_id WHERE 1 = 0
         """,
