@@ -360,3 +360,50 @@ def test_streaming_decontamination_matches_batch(spark, tmp_path):
         for r in spark.sql("select * from decon_stream").collect()
     )
     assert got == expected
+
+
+@pytest.mark.spark
+def test_streaming_stateless_cleaning_ops(spark, tmp_path):
+    """r6: the stateless cleaning operators (PII redaction, blocklist
+    counting, RAG chunking) compose with Structured Streaming untouched
+    — they are pure column expressions, so the micro-batch plan is the
+    batch plan."""
+    from hlld_spark.operators.pack import chunk_documents
+    from hlld_spark.operators.pii import redact_pii, with_pii_counts
+    from hlld_spark.operators.sampling import with_blocklist_hits
+
+    rows = [
+        (1, "mail a@b.co or call 555-123-4567 badterm " + "tok " * 40),
+        (2, "clean text with nothing to hide " + "tok " * 40),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "in")
+    batch.write.parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+
+    out = redact_pii(
+        with_blocklist_hits(with_pii_counts(stream, "text"), "text", ["badterm"]),
+        "text",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("clean_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["doc_id"]: r for r in spark.sql("select * from clean_stream").collect()}
+    assert got[1]["email_count"] == 1 and got[1]["phone_count"] == 1
+    assert got[1]["blocklist_hits"] == 1 and got[2]["blocklist_hits"] == 0
+    assert "<|EMAIL|>" in got[1]["text"] and "a@b.co" not in got[1]["text"]
+
+    q2 = (
+        chunk_documents(stream, "doc_id", "text", chunk_tokens=16, overlap=4)
+        .writeStream.format("memory")
+        .queryName("chunk_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    n = spark.sql("select count(*) c from chunk_stream").collect()[0]["c"]
+    assert n >= 6  # both docs split into several overlapping chunks
