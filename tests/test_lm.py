@@ -129,3 +129,69 @@ def test_broadcast_plan_shape(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("BroadcastHashJoin") == 5, plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.spark
+def test_kernel_path_matches_join_path(spark):
+    """The hashed broadcast-kernel scorer must equal the join scorer
+    (and hence the reference) on every doc — incl. short docs, pruned
+    higher orders, and held-out unseen tokens."""
+    from hlld_spark.operators.lm import (
+        stupid_backoff_scores_kernel,
+        train_stupid_backoff_hashed,
+    )
+
+    train = _mk_corpus(9, 35) + ["w0", "w1 w2", ""]
+    score = train + ["zzz unseen qqq w3 w4"]
+    tdf = spark.createDataFrame([(t,) for t in train], "text string")
+    sdf = spark.createDataFrame(list(enumerate(score)), "doc_id long, text string")
+    for mc in (1, 2):
+        model = train_stupid_backoff_hashed(tdf, "text", min_count=mc)
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["avg_logp"], r["ppl"])
+            for r in stupid_backoff_scores_kernel(
+                sdf, "doc_id", "text", model
+            ).collect()
+        }
+        # reference (join-path semantics) computed locally
+        want = _ref_pruned(train, score, mc)
+        assert set(got) == set(want)
+        for i in want:
+            assert got[i][0] == want[i][0], i
+            assert got[i][1] == pytest.approx(want[i][1], rel=1e-9), (mc, i)
+
+
+def _ref_pruned(train_texts, score_texts, min_count, alpha=0.4):
+    """Reference with min_count pruning of orders 2-3 (mirrors
+    train_stupid_backoff_hashed)."""
+    tok = lambda t: re.findall("[a-z0-9]+", t.lower())
+    c1, c2, c3 = Counter(), Counter(), Counter()
+    for t in (tok(x) for x in train_texts):
+        c1.update(t)
+        c2.update(" ".join(t[i : i + 2]) for i in range(len(t) - 1))
+        c3.update(" ".join(t[i : i + 3]) for i in range(len(t) - 2))
+    if min_count > 1:
+        c2 = Counter({k: v for k, v in c2.items() if v >= min_count})
+        c3 = Counter({k: v for k, v in c3.items() if v >= min_count})
+    n_total = sum(c1.values())
+    out = {}
+    for di, t in enumerate(tok(x) for x in score_texts):
+        if not t:
+            continue
+        lps = []
+        for i, w in enumerate(t):
+            m = min(3, i + 1)
+            tri = " ".join(t[i - 2 : i + 1]) if i >= 2 else None
+            ctx3 = " ".join(t[i - 2 : i]) if i >= 2 else None
+            big = " ".join(t[i - 1 : i + 1]) if i >= 1 else None
+            if tri and c3.get(tri, 0) > 0 and c2.get(ctx3, 0) > 0:
+                s = c3[tri] / c2[ctx3]
+            elif big and c2.get(big, 0) > 0 and c1.get(t[i - 1], 0) > 0:
+                s = alpha ** (m - 2) * c2[big] / c1[t[i - 1]]
+            elif c1.get(w, 0) > 0:
+                s = alpha ** (m - 1) * c1[w] / n_total
+            else:
+                s = alpha ** (m - 1) * alpha / n_total
+            lps.append(math.log10(s))
+        out[di] = (len(t), sum(lps) / len(lps))
+    return out
