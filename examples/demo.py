@@ -166,6 +166,31 @@ model = fit_pca(emb, "embedding", k=4)
 print("   top-4 PCA eigvals over the embeddings table:",
       [round(float(v), 4) for v in model["eigvals"]])
 
+print("== 8g. r6 third wave: span removal, as-of join, BPE, stratified sampling")
+from hlld_spark.operators.bpe import bpe_encode, bpe_train
+from hlld_spark.operators.dedup import remove_duplicated_spans
+from hlld_spark.operators.sampling import stratified_sample
+from hlld_spark.operators.temporal import asof_join
+
+shared = "breaking news ticker repeated across every syndicated page today"
+spans = spark.createDataFrame(
+    [(1, "article one body " + shared), (2, shared + " article two body")],
+    "doc_id long, text string",
+)
+scrubbed = remove_duplicated_spans(spans, "doc_id", "text", span=20).orderBy("doc_id")
+print("   span-scrubbed:", [r["text"] for r in scrubbed.collect()])
+quotes = spark.createDataFrame(
+    [(1, 10, 100.0), (1, 20, 110.0)], "k long, t long, price double"
+)
+trades = spark.createDataFrame([(1, 15), (1, 25), (1, 5)], "k long, t long")
+aj = asof_join(trades, quotes, "k", "t", "t", ["price"]).orderBy("t")
+print("   as-of prices at t=5,15,25:", [r["price"] for r in aj.collect()])
+bpe_model = bpe_train(web.limit(20000), "text", n_merges=120)
+enc = bpe_encode(web.limit(1), "text", bpe_model).first()["bpe_tokens"]
+print(f"   BPE: {len(bpe_model['merges'])} merges; first doc -> {len(enc)} tokens")
+kept = stratified_sample(web.limit(50000), "url", "lang", {"en": 0.1}, seed=1)
+print("   stratified en=0.1 keeps", kept.count(), "of 50000 rows (other langs whole)")
+
 print("== 9. named sets: registry + wire protocol")
 reg = SketchRegistry(os.path.join(work, "sets"))
 reg.create("demo_urls", precision=14)
