@@ -929,6 +929,39 @@ def _q_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _q_crawl_delta_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff gate (r6): a second crawl is derived from documents
+    by arithmetic (every 11th id dropped, every 7th text mutated, every
+    13th id re-added under a new id); ``crawl_delta`` must REDISCOVER
+    those statuses purely from the payload-free hash diff. The oracle
+    knows the construction, so any hash, join-side or precedence bug
+    mismatches."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.dedup import crawl_delta
+
+    docs = _load(spark, sf_dir, "documents").select("doc_id", "text")
+    new = (
+        docs.where(F.col("doc_id") % 11 != 3)
+        .select(
+            "doc_id",
+            F.when(
+                F.col("doc_id") % 7 == 2, F.concat(F.col("text"), F.lit(" [v2]"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            docs.where(F.col("doc_id") % 13 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("fresh page "), F.col("doc_id").cast("string")).alias(
+                    "text"
+                ),
+            )
+        )
+    )
+    return crawl_delta(docs, new, "doc_id", ["text"]).orderBy("doc_id")
+
+
 def _q_span_scrubbed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring REMOVAL gate (r6) — the full Lee et al. dedup
     semantic: every maximal merged run of positions whose 25-char
@@ -1397,6 +1430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicated_spans": _q_duplicated_spans,
         "dup_span_clusters": _q_dup_span_clusters,
         "span_scrubbed_docs": _q_span_scrubbed_docs,
+        "crawl_delta_statuses": _q_crawl_delta_statuses,
         "pii_redaction": _q_pii_redaction,
         "lm_perplexity": _q_lm_perplexity,
         "packed_chunks": _q_packed_chunks,
@@ -1854,6 +1888,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(AVG(LOG10(s)), 4) AS avg_logp,
                    ROUND(POW(10.0, -AVG(LOG10(s))), 4) AS ppl
             FROM scored GROUP BY doc_id ORDER BY doc_id
+        """,
+        "crawl_delta_statuses": """
+            SELECT doc_id,
+                   CASE WHEN doc_id % 11 = 3 THEN 'removed'
+                        WHEN doc_id % 7 = 2 THEN 'changed'
+                        ELSE 'unchanged' END AS status
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, 'added' AS status
+            FROM documents WHERE doc_id % 13 = 0
+            ORDER BY doc_id
         """,
         "span_scrubbed_docs": """
             WITH w AS (

@@ -1216,3 +1216,32 @@ def remove_duplicated_spans(
     return joined.withColumn(
         out_col, F.when(F.col("__cuts").isNull(), text).otherwise(surgered)
     ).drop("__cuts")
+
+
+def crawl_delta(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    content_cols: list[str],
+) -> DataFrame:
+    """Snapshot diff between two crawls of the same key space — the
+    incremental-ingest primitive (what changed since the last crawl
+    decides what re-enters the cleaning pipeline). Returns one row per
+    id present in either snapshot with ``status`` ∈ {added, removed,
+    changed, unchanged}.
+
+    Scale shape: both sides project to (id, 16-byte content md5) before
+    the full outer join — payloads never cross the exchange, and the
+    join keys are ids (prunable/bucketable). The caller semi-joins the
+    'added'/'changed' ids back against ``new`` to feed the pipeline.
+    """
+    oh = old.select(F.col(id_col), _content_hash(content_cols).alias("__ho"))
+    nh = new.select(F.col(id_col), _content_hash(content_cols).alias("__hn"))
+    joined = oh.join(nh, id_col, "full_outer")
+    status = (
+        F.when(F.col("__ho").isNull(), F.lit("added"))
+        .when(F.col("__hn").isNull(), F.lit("removed"))
+        .when(F.col("__ho") == F.col("__hn"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col(id_col), status.alias("status"))

@@ -1079,3 +1079,41 @@ def test_remove_duplicated_spans_out_col_and_nested_overlap(spark):
     # doc1: both halves cut (adjacent intervals merge), TAIL survives
     assert got[1] == (a + b + "TAIL", "TAIL")
     assert got[2][1] == "xx" and got[3][1] == "yy"
+
+
+@pytest.mark.spark
+def test_crawl_delta(spark):
+    from hlld_spark.operators.dedup import crawl_delta
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "will change"), (3, "gone")],
+        "doc_id bigint, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "changed now"), (4, "brand new")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"]
+        for r in crawl_delta(old, new, "doc_id", ["text"]).collect()
+    }
+    assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+
+
+@pytest.mark.spark
+def test_crawl_delta_payload_free_exchange(spark):
+    from hlld_spark.operators.dedup import crawl_delta
+
+    old = spark.createDataFrame([(1, "x" * 1000)], "doc_id bigint, text string")
+    new = spark.createDataFrame([(1, "x" * 1000)], "doc_id bigint, text string")
+    plan = (
+        crawl_delta(old, new, "doc_id", ["text"])
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # text is hashed before any join: the Join node's condition and
+    # output never reference the raw text column
+    assert "md5" in plan
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines and not any("text#" in ln for ln in join_lines)
