@@ -677,6 +677,35 @@ def _q_kmeans_centroid_violations(spark: SparkSession, sf_dir: str) -> DataFrame
     ).orderBy("cluster", "dim")
 
 
+def _q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup gate (Abbas et al. 2023): assign every embedding to
+    its nearest of 8 FIXED centroids (the vec_id<8 rows — deterministic
+    and SQL-expressible, unlike a Lloyd fit), then drop any row with
+    cosine ≥ 0.435 to an earlier-id row in the same cluster
+    (the paper's upper-triangular rule). The oracle replays assignment
+    (list_distance argmin, index-tiebroken like numpy argmin) and the
+    pair rule (self-join on cluster, y.vec_id < x.vec_id) in DuckDB —
+    EXACT survivor membership, not counts. eps=0.435 was margin-scanned:
+    the nearest same-cluster pair sim is ≥5e-4 away at all three SFs,
+    so cross-engine float noise cannot flip a drop."""
+    _ensure_shipped(spark)
+    import numpy as np
+
+    from hlld_spark.operators.embeddings import semdedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    cents_rows = emb.filter(F.col("vec_id") < 8).select("vec_id", "embedding").collect()
+    cents = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in sorted(cents_rows, key=lambda r: r["vec_id"])]
+    )
+    flags = semdedup(emb, "vec_id", "embedding", centroids=cents, eps=0.435)
+    return (
+        flags.filter(~F.col("sem_dup"))
+        .select("vec_id", "cluster")
+        .orderBy("vec_id")
+    )
+
+
 def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic stratified sampling gate (r6): keep 25% of en and
     50% of de documents (everything else whole), membership = one
@@ -1439,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_asof_orders": _q_events_asof_orders,
         "bpe_roundtrip_violations": _q_bpe_roundtrip_violations,
         "kmeans_centroid_violations": _q_kmeans_centroid_violations,
+        "semdedup_survivors": _q_semdedup_survivors,
         "stratified_sample_docs": _q_stratified_sample,
         "blocklist_hits": _q_blocklist_hits,
         "latest_fetches": _q_latest_fetches,
@@ -1774,6 +1804,26 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroid_violations": """
             SELECT CAST(NULL AS BIGINT) AS cluster, CAST(NULL AS BIGINT) AS dim,
                    CAST(NULL AS VARCHAR) AS reason WHERE 1 = 0
+        """,
+        "semdedup_survivors": """
+            WITH cent AS (
+              SELECT vec_id AS c, embedding AS cv FROM embeddings WHERE vec_id < 8
+            ), asg AS (
+              SELECT vec_id, embedding, c,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY list_distance(embedding, cv) ASC, c ASC) AS rn
+              FROM embeddings CROSS JOIN cent
+            ), a AS (
+              SELECT vec_id, embedding, c FROM asg WHERE rn = 1
+            ), dups AS (
+              SELECT DISTINCT x.vec_id
+              FROM a x JOIN a y ON x.c = y.c AND y.vec_id < x.vec_id
+              WHERE list_cosine_similarity(x.embedding, y.embedding) >= 0.435
+            )
+            SELECT a.vec_id, a.c AS cluster
+            FROM a LEFT JOIN dups ON a.vec_id = dups.vec_id
+            WHERE dups.vec_id IS NULL
+            ORDER BY a.vec_id
         """,
         "stratified_sample_docs": _stratified_oracle_sql(),
         "blocklist_hits": _blocklist_oracle_sql(),

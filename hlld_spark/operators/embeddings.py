@@ -282,3 +282,117 @@ def project_embeddings(
         return pd.Series(list(y.astype(np.float32)))
 
     return df.withColumn(out_col, _proj(F.col(vec_col)))
+
+
+def semdedup_prune(
+    assigned: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    eps: float = 0.95,
+    cluster_col: str = "cluster",
+    rank_by: str = "id",
+    max_sim_elems: int = 16_000_000,
+) -> DataFrame:
+    """SemDeDup pruning (Abbas et al. 2023, arXiv:2303.09540) over a
+    pre-clustered embedding table: within each cluster, row *i* is a
+    semantic duplicate iff SOME row ranked before it has cosine
+    similarity ≥ ``eps`` (the paper's upper-triangular-max rule —
+    dropped rows still block later rows, so the result is
+    order-deterministic, not greedy-dependent).
+
+    ``rank_by``: ``"id"`` (ascending ``id_col``; cross-engine
+    reproducible — the driver gate's choice) or ``"centroid_dist"``
+    (descending ``<cluster_col>_sq_dist`` from :func:`kmeans_assign`,
+    id-tiebroken — the paper keeps LOW-similarity-to-centroid
+    examples, arXiv:2303.09540 §3.2).
+
+    Scale shape: one shuffle keyed by cluster, then a per-cluster
+    vectorized prefix-similarity scan in ``applyInPandas``. Per-task
+    memory is O(c·d) for the cluster matrix plus O(``max_sim_elems``)
+    for the similarity block (the block row-count adapts as the prefix
+    grows), never O(c²). Compute is the O(c²·d) inherent to SemDeDup —
+    the paper's contract is that k scales with N so clusters stay
+    bounded (k=50k for LAION-440M); pair with :func:`kmeans_fit`
+    (or any partitioner) sized accordingly. Returns
+    (id, cluster, sem_dup) flags; join/anti-join downstream.
+    """
+    if rank_by not in ("id", "centroid_dist"):
+        raise ValueError(f"rank_by must be 'id' or 'centroid_dist', got {rank_by!r}")
+    from pyspark.sql.types import BooleanType, LongType
+
+    id_field = assigned.schema[id_col]
+    dist_col = f"{cluster_col}_sq_dist"
+    cols = [id_col, vec_col, cluster_col] + (
+        [dist_col] if rank_by == "centroid_dist" else []
+    )
+    out_schema = StructType(
+        [
+            StructField(id_col, id_field.dataType, True),
+            StructField(cluster_col, LongType(), True),
+            StructField("sem_dup", BooleanType(), False),
+        ]
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if rank_by == "centroid_dist":
+            pdf = pdf.sort_values([dist_col, id_col], ascending=[False, True])
+        else:
+            pdf = pdf.sort_values(id_col)
+        x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        n = len(x)
+        norm = np.linalg.norm(x, axis=1, keepdims=True)
+        np.maximum(norm, 1e-300, out=norm)  # zero vectors -> sim 0, never dup
+        xn = x / norm
+        dup = np.zeros(n, dtype=bool)
+        i0 = 1  # row 0 has no earlier rows
+        while i0 < n:
+            bs = int(max(1, min(n - i0, max_sim_elems // (i0 + 1))))
+            i1 = i0 + bs
+            s = xn[i0:i1] @ xn[:i1].T  # (bs, i1): sims vs the whole prefix
+            # mask local columns at or after each row's own position
+            s[:, i0:i1][np.triu(np.ones((bs, bs), dtype=bool))] = -np.inf
+            dup[i0:i1] = (s >= eps).any(axis=1)
+            i0 = i1
+        return pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                cluster_col: pdf[cluster_col].to_numpy(),
+                "sem_dup": dup,
+            }
+        )
+
+    return assigned.select(*cols).groupBy(cluster_col).applyInPandas(prune, schema=out_schema)
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+    k: int = 8,
+    eps: float = 0.95,
+    rank_by: str = "id",
+    max_sim_elems: int = 16_000_000,
+) -> DataFrame:
+    """Full SemDeDup: k-means assignment (fit with :func:`kmeans_fit`
+    when ``centroids`` is None) + :func:`semdedup_prune`. Returns
+    (id, cluster, sem_dup) — one row per input row."""
+    if centroids is None:
+        centroids = kmeans_fit(df, vec_col, k=k)["centroids"]
+    assigned = kmeans_assign(df, centroids, vec_col)
+    return semdedup_prune(
+        assigned, id_col, vec_col, eps=eps, rank_by=rank_by, max_sim_elems=max_sim_elems
+    )
+
+
+def semdedup_keepers(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Rows of ``df`` that survive :func:`semdedup` (anti-join on the
+    flagged ids; the flag side carries only scalars)."""
+    flags = semdedup(df, id_col, vec_col, **kwargs)
+    dup_ids = flags.filter(F.col("sem_dup")).select(id_col)
+    return df.join(dup_ids, on=id_col, how="left_anti")
