@@ -562,6 +562,7 @@ _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
 _REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v6_200.parquet"
 _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
 _URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
+_PHASH_FIXTURE = "/tmp/hlld_spark_fixtures/phash_120.parquet"
 _BOILERPLATE_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/boilerplate_200"
 
 
@@ -675,6 +676,32 @@ def _q_kmeans_centroid_violations(spark: SparkSession, sf_dir: str) -> DataFrame
     return spark.createDataFrame(
         bad, "cluster long, dim long, reason string"
     ).orderBy("cluster", "dim")
+
+
+def _q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup gate (r6): the fixture stores
+    real PNG/JPEG payloads (incl. planted re-encoded near-dups and two
+    corrupt rows) plus a ground-truth pHash computed by an INDEPENDENT
+    spec-literal double-loop reference — for JPEG on the encoder-side
+    reconstruction, the exact pixels the decoder must produce. The
+    engine re-decodes every payload, hashes with the vectorized kernel
+    (operators/imagehash.py), and finds hamming≤3 pairs through the
+    SimHash pigeonhole block join; keeper = smallest matching id
+    (pigeonhole guarantees every ≤3 pair is found at blocks=4). The
+    DuckDB oracle derives the same keeper mapping from the TRUTH
+    hashes with bit_count(xor(...)) — a wrong decode, hash bit, block
+    split, or verify path hash-mismatches. Per-image bit margin >1e-6
+    is asserted at generation so float order can't flip a bit."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.imagehash import phash_dedup, write_phash_fixture
+
+    write_phash_fixture(_PHASH_FIXTURE, 120)
+    imgs = spark.read.parquet(_PHASH_FIXTURE).select("img_id", "payload")
+    return (
+        phash_dedup(imgs, "img_id", "payload", hamming_threshold=3, blocks=4)
+        .select(F.col("id").alias("img_id"), "keeper_id")
+        .orderBy("img_id")
+    )
 
 
 def _q_semdedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1469,6 +1496,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_roundtrip_violations": _q_bpe_roundtrip_violations,
         "kmeans_centroid_violations": _q_kmeans_centroid_violations,
         "semdedup_survivors": _q_semdedup_survivors,
+        "phash_near_dups": _q_phash_near_dups,
         "stratified_sample_docs": _q_stratified_sample,
         "blocklist_hits": _q_blocklist_hits,
         "latest_fetches": _q_latest_fetches,
@@ -1804,6 +1832,20 @@ def oracle_sql() -> dict[str, str]:
         "kmeans_centroid_violations": """
             SELECT CAST(NULL AS BIGINT) AS cluster, CAST(NULL AS BIGINT) AS dim,
                    CAST(NULL AS VARCHAR) AS reason WHERE 1 = 0
+        """,
+        "phash_near_dups": f"""
+            WITH t AS (
+              SELECT img_id, phash FROM read_parquet('{_PHASH_FIXTURE}')
+            ), m AS (
+              SELECT a.img_id AS img_id, MIN(b.img_id) AS k
+              FROM t a JOIN t b ON b.img_id < a.img_id
+              WHERE a.phash IS NOT NULL AND b.phash IS NOT NULL
+                AND bit_count(xor(a.phash, b.phash)) <= 3
+              GROUP BY a.img_id
+            )
+            SELECT t.img_id, COALESCE(m.k, t.img_id) AS keeper_id
+            FROM t LEFT JOIN m ON t.img_id = m.img_id
+            ORDER BY t.img_id
         """,
         "semdedup_survivors": """
             WITH cent AS (

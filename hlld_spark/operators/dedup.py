@@ -768,34 +768,52 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInPandas(compute, schema=out_schema)
 
 
-def simhash_dedup(
-    df: DataFrame,
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    if hasattr(np, "bitwise_count"):
+        return np.bitwise_count(x).astype(np.int64)
+    ham = np.zeros(x.shape, dtype=np.int64)
+    v = x.copy()
+    for _ in range(64):  # popcount via shift-add (vectorized)
+        ham += (v & _U64(1)).astype(np.int64)
+        v >>= _U64(1)
+    return ham
+
+
+def hash64_block_dedup(
+    hash_df: DataFrame,
     id_col: str,
-    text_col: str,
+    hash_col: str,
     hamming_threshold: int = 3,
     blocks: int = 4,
     max_bucket_pairwise: int = 512,
+    all_ids: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-dup via SimHash: candidates share at least one of `blocks`
-    16-bit blocks exactly (pigeonhole: hamming ≤ blocks−1 guarantees a
-    shared block); verified by ALL-PAIRS popcount ≤ threshold within the
-    bucket (vectorized m×m xor; overflow beyond ``max_bucket_pairwise``
-    runs chunked all-pairs + head-chunk anchoring — see
-    :func:`_capped_cluster_pairs`)."""
-    sh = simhash_df(df, id_col, text_col)
+    """Hamming near-dup over any 64-bit fingerprint column (SimHash,
+    pHash, …): candidates share at least one of ``blocks`` equal-width
+    bit blocks exactly (pigeonhole: hamming ≤ blocks−1 guarantees a
+    shared block); verified by ALL-PAIRS popcount ≤ threshold within
+    the bucket (vectorized m×m xor; overflow beyond
+    ``max_bucket_pairwise`` runs chunked all-pairs + head-chunk
+    anchoring — see :func:`_capped_cluster_pairs`). NULL hashes (e.g.
+    undecodable images) never pair and keep themselves. Only
+    (id, block_val, hash) scalars shuffle — never payloads. Returns one
+    row per ``all_ids`` row (default: ``hash_df``'s ids):
+    (id, keeper_id, hamming), keeper = smallest matching id, self if
+    none."""
+    sh = hash_df.filter(F.col(hash_col).isNotNull())
     width = 64 // blocks
     mask = (1 << width) - 1
     exploded = None
     for b in range(blocks):
         part = sh.select(
             F.lit(b).alias("block"),
-            F.shiftrightunsigned(F.col("simhash"), b * width).bitwiseAND(F.lit(mask)).alias("block_val"),
+            F.shiftrightunsigned(F.col(hash_col), b * width).bitwiseAND(F.lit(mask)).alias("block_val"),
             F.col(id_col).alias("id"),
-            "simhash",
+            F.col(hash_col).alias("__h64"),
         )
         exploded = part if exploded is None else exploded.unionAll(part)
 
-    id_type = sh.schema[id_col].dataType
+    id_type = hash_df.schema[id_col].dataType
     pair_schema = StructType(
         [
             StructField("id", id_type, False),
@@ -806,26 +824,16 @@ def simhash_dedup(
     thr = hamming_threshold
     cap = max_bucket_pairwise
 
-    def _popcount(x: np.ndarray) -> np.ndarray:
-        if hasattr(np, "bitwise_count"):
-            return np.bitwise_count(x).astype(np.int64)
-        ham = np.zeros(x.shape, dtype=np.int64)
-        v = x.copy()
-        for _ in range(64):  # popcount via shift-add (vectorized)
-            ham += (v & _U64(1)).astype(np.int64)
-            v >>= _U64(1)
-        return ham
-
     def bucket_verify(pdf: pd.DataFrame) -> pd.DataFrame:
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id": [], "keeper_id": [], "hamming": []})
         order = np.argsort(pdf["id"].to_numpy())
         ids = pdf["id"].to_numpy()[order]
-        hs = pdf["simhash"].to_numpy().astype(np.uint64)[order]
+        hs = pdf["__h64"].to_numpy().astype(np.uint64)[order]
         i, k, s = _capped_cluster_pairs(
             ids,
-            lambda ia, ib: _popcount(hs[ia][:, None] ^ hs[ib][None, :]),
+            lambda ia, ib: _popcount64(hs[ia][:, None] ^ hs[ib][None, :]),
             lambda S: S <= thr,
             cap,
         )
@@ -833,11 +841,34 @@ def simhash_dedup(
 
     pairs = exploded.groupBy("block", "block_val").applyInPandas(bucket_verify, schema=pair_schema)
     labels = pairs.groupBy("id").agg(F.min("keeper_id").alias("keeper_id"), F.min("hamming").alias("hamming"))
-    all_ids = df.select(F.col(id_col).alias("id"))
+    if all_ids is None:
+        all_ids = hash_df.select(F.col(id_col).alias("id"))
+    else:
+        all_ids = all_ids.select(F.col(id_col).alias("id"))
     return (
         all_ids.join(labels, "id", "left")
         .withColumn("keeper_id", F.coalesce(F.col("keeper_id"), F.col("id")))
         .withColumn("hamming", F.coalesce(F.col("hamming"), F.lit(0)))
+    )
+
+
+def simhash_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hamming_threshold: int = 3,
+    blocks: int = 4,
+    max_bucket_pairwise: int = 512,
+) -> DataFrame:
+    """Near-dup via SimHash: :func:`simhash_df` fingerprints +
+    :func:`hash64_block_dedup` blocking/verify."""
+    return hash64_block_dedup(
+        simhash_df(df, id_col, text_col),
+        id_col,
+        "simhash",
+        hamming_threshold=hamming_threshold,
+        blocks=blocks,
+        max_bucket_pairwise=max_bucket_pairwise,
     )
 
 
