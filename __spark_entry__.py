@@ -563,6 +563,7 @@ _REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v6_200.parquet"
 _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
 _URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
 _PHASH_FIXTURE = "/tmp/hlld_spark_fixtures/phash_120.parquet"
+_MOJIBAKE_FIXTURE = "/tmp/hlld_spark_fixtures/mojibake_400.parquet"
 _BOILERPLATE_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/boilerplate_200"
 
 
@@ -701,6 +702,36 @@ def _q_phash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
         phash_dedup(imgs, "img_id", "payload", hamming_threshold=3, blocks=4)
         .select(F.col("id").alias("img_id"), "keeper_id")
         .orderBy("img_id")
+    )
+
+
+def _q_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-repair (mojibake) gate: the fixture stores pristine
+    unicode sentences alongside variants corrupted by the FORWARD
+    transform (utf-8 bytes decoded as cp1252, doubly so, or latin-1 —
+    an independent function, never the repair code) plus the expected
+    repair round count. The engine inverts the damage with sloppy-
+    cp1252 re-encode + strict utf-8 decode (operators/encoding.py);
+    the oracle simply reads the stored pristine truth — so the gate is
+    FULL exact string equality on every repaired character, and clean
+    rows (ascii and genuine non-latin unicode) must pass through
+    untouched with rounds=0."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.encoding import (
+        with_encoding_repair,
+        write_mojibake_fixture,
+    )
+
+    write_mojibake_fixture(_MOJIBAKE_FIXTURE, 400)
+    docs = spark.read.parquet(_MOJIBAKE_FIXTURE).select("doc_id", "text")
+    return (
+        with_encoding_repair(docs)
+        .select(
+            "doc_id",
+            F.col("text_fixed").alias("fixed"),
+            F.col("mojibake_rounds").cast("long").alias("rounds"),
+        )
+        .orderBy("doc_id")
     )
 
 
@@ -1497,6 +1528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroid_violations": _q_kmeans_centroid_violations,
         "semdedup_survivors": _q_semdedup_survivors,
         "phash_near_dups": _q_phash_near_dups,
+        "encoding_repair": _q_encoding_repair,
         "stratified_sample_docs": _q_stratified_sample,
         "blocklist_hits": _q_blocklist_hits,
         "latest_fetches": _q_latest_fetches,
@@ -1866,6 +1898,11 @@ def oracle_sql() -> dict[str, str]:
             FROM a LEFT JOIN dups ON a.vec_id = dups.vec_id
             WHERE dups.vec_id IS NULL
             ORDER BY a.vec_id
+        """,
+        "encoding_repair": f"""
+            SELECT doc_id, clean_text AS fixed, CAST(rounds AS BIGINT) AS rounds
+            FROM read_parquet('{_MOJIBAKE_FIXTURE}')
+            ORDER BY doc_id
         """,
         "stratified_sample_docs": _stratified_oracle_sql(),
         "blocklist_hits": _blocklist_oracle_sql(),

@@ -69,6 +69,13 @@ def main() -> None:
     ap.add_argument("--html-col", default="html",
                     help="html column for --extract-main-text")
     ap.add_argument(
+        "--fix-encoding",
+        action="store_true",
+        help="repair utf-8-as-cp1252/latin-1 mojibake in the text "
+        "column before any content stage (operators/encoding.py) so "
+        "corrupted refetches collapse with their clean twins in dedup",
+    )
+    ap.add_argument(
         "--canonicalize-urls",
         action="store_true",
         help="rewrite the id column to its canonical URL form before "
@@ -307,6 +314,20 @@ def main() -> None:
             "extract_main_text",
             lambda d: extract_main_text(d, args.html_col, out_col=args.text_col),
             "jusText-style block classification over " + args.html_col,
+        )
+
+    # -0.5 encoding repair (optional): invert mojibake so a corrupted
+    # refetch exact-matches its clean twin in the dedup stages
+    if args.fix_encoding:
+        from hlld_spark.operators.encoding import with_encoding_repair
+
+        run_stage(
+            "fix_encoding",
+            lambda d: with_encoding_repair(d, args.text_col)
+            .drop(args.text_col)
+            .withColumnRenamed("text_fixed", args.text_col)
+            .drop("mojibake_rounds"),
+            "sloppy-cp1252 inversion of utf-8 mojibake",
         )
 
     # 0. URL canonicalization (optional): refetch families

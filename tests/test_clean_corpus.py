@@ -401,3 +401,39 @@ def test_pipeline_canonicalize_urls_collapses_refetches(spark, tmp_path):
     assert stages["exact_dedup"]["rows"] == 2  # the three refetches collapse
     kept = {r["url"] for r in spark.read.parquet(out).select("url").collect()}
     assert kept == {"https://example.com/page", "https://example.com/other"}
+
+
+def test_pipeline_fix_encoding_collapses_mojibake_refetch(spark, tmp_path):
+    """r6: --fix-encoding inverts utf-8-as-cp1252 mojibake before dedup,
+    so a corrupted refetch exact-matches its clean twin and the repaired
+    text (not the corrupted bytes) reaches the output."""
+    from hlld_spark.operators.encoding import mojibake_corrupt
+
+    clean = "café crème – the “quoted” body words of the résumé page here"
+    rows = [
+        (0, clean),
+        (1, mojibake_corrupt(clean, "cp1252", 1)),  # corrupted refetch
+        (2, "a different page entirely with other plain words"),
+    ]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", inp, "--id-col", "doc_id", "--text-col", "text",
+            "--fix-encoding",
+            "--min-quality", "0.0", "--max-dup-word-ratio", "1.0",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.load(open(metrics_path))
+    stages = {s["stage"]: s for s in m["stages"]}
+    assert stages["fix_encoding"]["rows"] == 3
+    assert stages["exact_dedup"]["rows"] == 2  # mojibake twin collapses
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert got[0] == clean  # repaired/clean text survives byte-exact
