@@ -564,6 +564,8 @@ _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
 _URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
 _PHASH_FIXTURE = "/tmp/hlld_spark_fixtures/phash_120.parquet"
 _MOJIBAKE_FIXTURE = "/tmp/hlld_spark_fixtures/mojibake_400.parquet"
+_PARAS_FIXTURE = "/tmp/hlld_spark_fixtures/paragraphs_300.parquet"
+_UNICODE_FIXTURE = "/tmp/hlld_spark_fixtures/unicode_300.parquet"
 _BOILERPLATE_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/boilerplate_200"
 
 
@@ -731,6 +733,69 @@ def _q_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text_fixed").alias("fixed"),
             F.col("mojibake_rounds").cast("long").alias("rounds"),
         )
+        .orderBy("doc_id")
+    )
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style paragraph dedup gate: the fixture plants cross-doc
+    boilerplate paragraphs, within-doc repeats, and empty formatting
+    lines; the engine removes every duplicate paragraph except its
+    least-(doc_id,pos) occurrence and reassembles the docs (paragraph
+    text never crossing an exchange — plan-asserted in pytest). The
+    oracle replays the keeper rule in independent DuckDB SQL
+    (string_split + window row_number + string_agg reassembly) — FULL
+    string equality on every rebuilt document."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.dedup import dedup_paragraphs, write_paragraph_fixture
+
+    write_paragraph_fixture(_PARAS_FIXTURE, 300)
+    docs = spark.read.parquet(_PARAS_FIXTURE)
+    return (
+        dedup_paragraphs(docs, "doc_id", "text")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+def _q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-doc duplicate-line removal gate (keep first occurrence,
+    empty lines pass through): zero-exchange pure-Catalyst higher-order
+    functions vs an independent DuckDB list_filter/list_position
+    replay — FULL string equality per document."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.dedup import (
+        dedup_lines_within_doc,
+        write_paragraph_fixture,
+    )
+
+    write_paragraph_fixture(_PARAS_FIXTURE, 300)
+    docs = spark.read.parquet(_PARAS_FIXTURE)
+    return (
+        dedup_lines_within_doc(docs, "text")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+def _q_nfc_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization gate — a TRUE cross-engine check: the
+    fixture mixes genuinely denormalized text (combining marks, Hangul
+    jamo) with compatibility characters NFC must NOT fold; the engine
+    normalizes with CPython's unicodedata, the oracle with DuckDB's
+    utf8proc `nfc_normalize` — two independent Unicode implementations
+    agreeing byte-for-byte on every row."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.normalize import (
+        with_unicode_normalization,
+        write_unicode_fixture,
+    )
+
+    write_unicode_fixture(_UNICODE_FIXTURE, 300)
+    docs = spark.read.parquet(_UNICODE_FIXTURE).select("doc_id", "text")
+    return (
+        with_unicode_normalization(docs, "text", "NFC", "norm")
+        .select("doc_id", "norm")
         .orderBy("doc_id")
     )
 
@@ -1529,6 +1594,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup_survivors": _q_semdedup_survivors,
         "phash_near_dups": _q_phash_near_dups,
         "encoding_repair": _q_encoding_repair,
+        "paragraph_dedup_docs": _q_paragraph_dedup,
+        "line_dedup_docs": _q_line_dedup,
+        "nfc_normalized_docs": _q_nfc_normalized,
         "stratified_sample_docs": _q_stratified_sample,
         "blocklist_hits": _q_blocklist_hits,
         "latest_fetches": _q_latest_fetches,
@@ -1902,6 +1970,36 @@ def oracle_sql() -> dict[str, str]:
         "encoding_repair": f"""
             SELECT doc_id, clean_text AS fixed, CAST(rounds AS BIGINT) AS rounds
             FROM read_parquet('{_MOJIBAKE_FIXTURE}')
+            ORDER BY doc_id
+        """,
+        "paragraph_dedup_docs": f"""
+            WITH t AS (SELECT doc_id, text FROM read_parquet('{_PARAS_FIXTURE}')),
+             l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM t),
+             p AS (SELECT doc_id, i-1 AS pos, ls[i] AS para
+                   FROM l, unnest(range(1, len(ls)+1)) r(i)),
+             e AS (SELECT *, length(trim(para)) >= 1 AS elig FROM p),
+             r AS (SELECT doc_id, pos, para, elig,
+                          CASE WHEN elig THEN row_number() OVER (
+                              PARTITION BY para ORDER BY doc_id, pos) END AS rn
+                   FROM e),
+             kept AS (SELECT doc_id, pos, para FROM r WHERE NOT elig OR rn = 1)
+            SELECT t.doc_id,
+                   COALESCE(string_agg(kept.para, chr(10) ORDER BY kept.pos), '') AS text
+            FROM t LEFT JOIN kept ON t.doc_id = kept.doc_id
+            GROUP BY t.doc_id ORDER BY t.doc_id
+        """,
+        "line_dedup_docs": f"""
+            WITH l AS (SELECT doc_id, string_split(text, chr(10)) AS ls
+                       FROM read_parquet('{_PARAS_FIXTURE}'))
+            SELECT doc_id,
+                   array_to_string(list_filter(ls,
+                       (x, i) -> length(trim(x)) < 1 OR list_position(ls, x) = i),
+                       chr(10)) AS text
+            FROM l ORDER BY doc_id
+        """,
+        "nfc_normalized_docs": f"""
+            SELECT doc_id, nfc_normalize(text) AS norm
+            FROM read_parquet('{_UNICODE_FIXTURE}')
             ORDER BY doc_id
         """,
         "stratified_sample_docs": _stratified_oracle_sql(),

@@ -1276,3 +1276,176 @@ def crawl_delta(
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col(id_col), status.alias("status"))
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level dedup (CCNet-style) + within-doc line dedup
+# ---------------------------------------------------------------------------
+
+
+def _literal_split(text_col: str, sep: str):
+    """Split on a LITERAL separator (``F.split`` takes a Java regex —
+    ``\\Q..\\E`` quotes it), keeping trailing empty fields (limit -1)
+    so positions survive a round trip through ``array_join``."""
+    return F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    sep: str = "\n",
+    min_chars: int = 1,
+    keep: str = "first",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-wide paragraph-level deduplication (the CCNet / Dolma
+    cleaning stage: boilerplate lines — nav, cookie banners, footers —
+    repeat across millions of pages and drown document-level dedup).
+    Splits each doc on the LITERAL ``sep``, removes duplicate
+    paragraphs globally, and reassembles the survivors in original
+    order (docs whose every paragraph was removed come back as ``""``;
+    null text stays null).
+
+    ``keep="first"``: one copy of each paragraph survives, at the
+    lexicographically least ``(id, pos)`` occurrence. ``keep="none"``:
+    every occurrence of a paragraph seen more than once is removed
+    (the stricter CCNet-shard semantic). Paragraphs whose trimmed
+    length is < ``min_chars`` (default 1: empty/whitespace lines) pass
+    through everywhere — they are formatting, not content.
+
+    Scale shape: the exploded stream projects to ``(id, pos, md5_16)``
+    BEFORE its exchange — paragraph text never shuffles. The keeper
+    table is a partial-aggregated ``groupBy(hash)`` (a billion-page
+    boilerplate paragraph folds map-side; no occurrence list is ever
+    buffered), the flag join is hash-keyed scalars (AQE handles the
+    hot-key skew), and the rebuild is the same id-keyed array join +
+    row-local string surgery as :func:`remove_duplicated_spans` — the
+    one payload-bearing exchange, which disappears when the input is
+    bucketed/partitioned by id.
+    """
+    if keep not in ("first", "none"):
+        raise ValueError(f"keep must be 'first' or 'none', got {keep!r}")
+    out_col = out_col or text_col
+    arr = _literal_split(text_col, sep)
+    paras = df.select(id_col, F.posexplode(arr).alias("pos", "para"))
+    keyed = paras.select(
+        id_col,
+        "pos",
+        (F.length(F.trim(F.col("para"))) >= min_chars).alias("elig"),
+        F.unhex(F.md5(F.col("para"))).alias("ph"),
+    )
+    eligible = keyed.filter(F.col("elig"))
+    if keep == "first":
+        keepers = eligible.groupBy("ph").agg(
+            F.min(
+                F.struct(F.col(id_col).alias("kid"), F.col("pos").alias("kpos"))
+            ).alias("k")
+        )
+        survives = (F.col("k.kid") == F.col(id_col)) & (
+            F.col("k.kpos") == F.col("pos")
+        )
+    else:
+        keepers = eligible.groupBy("ph").agg(F.count(F.lit(1)).alias("__n"))
+        survives = F.col("__n") == 1
+    kept_pos = (
+        keyed.join(keepers, "ph", "left")
+        .filter(~F.col("elig") | survives)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__kept"))
+    )
+    joined = df.join(kept_pos, id_col, "left")
+    rebuilt = F.array_join(
+        F.filter(arr, lambda x, i: F.array_contains(F.col("__kept"), i)), sep
+    )
+    return joined.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string"))
+        .when(F.col("__kept").isNull(), F.lit(""))
+        .otherwise(rebuilt),
+    ).drop("__kept")
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    text_col: str,
+    sep: str = "\n",
+    min_chars: int = 1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Remove repeated lines WITHIN each document (keep the first
+    occurrence) — the row-local companion to :func:`dedup_paragraphs`
+    for per-page boilerplate (a nav block repeated top and bottom).
+    Lines with trimmed length < ``min_chars`` always pass through.
+
+    Pure Catalyst higher-order functions inside whole-stage codegen:
+    zero exchange, zero Python — ``array_position`` is O(lines²) per
+    doc, on in-cache arrays (docs have tens of lines, not thousands;
+    the corpus-scale dimension stays embarrassingly parallel).
+    """
+    out_col = out_col or text_col
+    arr = _literal_split(text_col, sep)
+    kept = F.filter(
+        arr,
+        lambda x, i: (F.length(F.trim(x)) < min_chars)
+        | (F.array_position(arr, x) == i + F.lit(1)),
+    )
+    return df.withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(
+            F.array_join(kept, sep)
+        ),
+    )
+
+
+def write_paragraph_fixture(path: str, n: int, seed: int = 17) -> str:
+    """Deterministic multi-paragraph web-page fixture (idempotent):
+    docs mix unique content paragraphs with a shared boilerplate pool
+    (cross-doc dups), within-doc repeats, and empty formatting lines —
+    the shapes paragraph dedup must separate. Truth is NOT stored: the
+    driver oracle replays the keeper rule in independent DuckDB SQL."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    boiler = [
+        "subscribe to our newsletter for weekly updates",
+        "all rights reserved terms of service apply",
+        "share this article on your favorite network",
+        "cookie settings accept decline manage preferences",
+        "related stories you might have missed yesterday",
+        "sign in to leave a comment below the article",
+        "advertisement continue reading the main story",
+        "download our app for the full experience",
+        "back to top of the page navigation",
+        "copyright notice and privacy policy link",
+    ]
+    rows = []
+    for i in range(n):
+        k = 3 + (i * seed) % 5
+        paras = []
+        for j in range(k):
+            r = (i * 31 + j * 7 + seed) % 11
+            if r < 4:
+                paras.append(boiler[(i * 3 + j * 5) % len(boiler)])
+            elif r == 4:
+                paras.append("")  # formatting line: must pass through
+            elif r == 5 and j > 0:
+                paras.append(paras[0])  # within-doc repeat
+            else:
+                paras.append(
+                    f"unique body paragraph {j} of document {i} with its own words"
+                )
+        rows.append((i, "\n".join(paras)))
+    cols = {
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return path

@@ -76,6 +76,27 @@ def main() -> None:
         "corrupted refetches collapse with their clean twins in dedup",
     )
     ap.add_argument(
+        "--normalize-unicode",
+        default=None,
+        choices=["NFC", "NFKC", "NFD", "NFKD"],
+        help="unicode-normalize the text column before any content "
+        "hash (operators/normalize.py) so mixed normalization forms "
+        "of the same text collapse in dedup",
+    )
+    ap.add_argument(
+        "--dedup-lines",
+        action="store_true",
+        help="remove repeated lines WITHIN each document, keeping the "
+        "first occurrence (row-local, zero shuffle)",
+    )
+    ap.add_argument(
+        "--dedup-paragraphs",
+        action="store_true",
+        help="corpus-wide CCNet-style paragraph dedup: duplicate "
+        "paragraphs keep one least-(id,pos) occurrence; empty lines "
+        "pass through",
+    )
+    ap.add_argument(
         "--canonicalize-urls",
         action="store_true",
         help="rewrite the id column to its canonical URL form before "
@@ -330,6 +351,19 @@ def main() -> None:
             "sloppy-cp1252 inversion of utf-8 mojibake",
         )
 
+    # -0.4 unicode normalization (optional): NFC/NFKC so normalization
+    # variants of the same text share a content hash downstream
+    if args.normalize_unicode:
+        from hlld_spark.operators.normalize import with_unicode_normalization
+
+        run_stage(
+            "normalize_unicode",
+            lambda d: with_unicode_normalization(
+                d, args.text_col, args.normalize_unicode
+            ),
+            f"{args.normalize_unicode} via unicodedata (is_normalized fast path)",
+        )
+
     # 0. URL canonicalization (optional): refetch families
     # (utm params, fragments, default ports, scheme/host case) collapse
     # to one id BEFORE content dedup
@@ -352,6 +386,26 @@ def main() -> None:
         ),
         "content-hash min-id keepers",
     )
+
+    # 1.3 within-doc line dedup (optional, row-local)
+    if args.dedup_lines:
+        from hlld_spark.operators.dedup import dedup_lines_within_doc
+
+        run_stage(
+            "dedup_lines",
+            lambda d: dedup_lines_within_doc(d, args.text_col),
+            "repeated lines within a doc dropped (first kept)",
+        )
+
+    # 1.6 corpus-wide paragraph dedup (optional, CCNet-style)
+    if args.dedup_paragraphs:
+        from hlld_spark.operators.dedup import dedup_paragraphs
+
+        run_stage(
+            "dedup_paragraphs",
+            lambda d: dedup_paragraphs(d, args.id_col, args.text_col),
+            "global boilerplate paragraphs keep one least-(id,pos) copy",
+        )
 
     # 2. near-dup dedup (optional)
     if args.near_dup:

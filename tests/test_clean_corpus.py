@@ -437,3 +437,42 @@ def test_pipeline_fix_encoding_collapses_mojibake_refetch(spark, tmp_path):
     assert stages["exact_dedup"]["rows"] == 2  # mojibake twin collapses
     got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
     assert got[0] == clean  # repaired/clean text survives byte-exact
+
+
+def test_pipeline_normalize_and_paragraph_stages(spark, tmp_path):
+    """r6: --normalize-unicode NFC makes a decomposed twin collapse in
+    exact dedup; --dedup-lines then --dedup-paragraphs scrub within-doc
+    repeats and cross-doc boilerplate from the survivors."""
+    import unicodedata
+
+    body = "café and the long body words of this page\nboilerplate footer line"
+    rows = [
+        (0, body),
+        (1, unicodedata.normalize("NFD", body)),  # decomposed twin
+        (2, "another page body here\nboilerplate footer line\nanother page body here"),
+    ]
+    inp = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", inp, "--id-col", "doc_id", "--text-col", "text",
+            "--normalize-unicode", "NFC", "--dedup-lines", "--dedup-paragraphs",
+            "--min-quality", "0.0", "--max-dup-word-ratio", "1.0",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.load(open(metrics_path))
+    stages = {s["stage"]: s for s in m["stages"]}
+    assert stages["normalize_unicode"]["rows"] == 3
+    assert stages["exact_dedup"]["rows"] == 2  # NFD twin collapsed
+    got = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    # doc 0 keeps the footer (least occurrence); doc 2 lost its
+    # within-doc repeat (line dedup) AND the shared footer (paragraph dedup)
+    assert got[0] == body
+    assert got[2] == "another page body here"
