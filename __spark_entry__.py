@@ -737,6 +737,47 @@ def _q_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus-mixing gate (the Pile/Dolma source-weighting
+    step): the en/de/fr slices of `documents` mix at weights 2.5 /
+    0.5 / 1.0 — fractional epochs, so en rows appear 2 or 3 times with
+    the extra copy decided by the md5 hash fraction (a pure function
+    of key+seed+source; md5 hex is byte-identical across engines).
+    The oracle replays the copy-count rule in DuckDB with a lateral
+    range() — EXACT membership and epoch indices, not counts."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.sampling import mix_corpora
+
+    docs = _load(spark, sf_dir, "documents")
+    srcs = {l: docs.filter(F.col("lang") == l) for l in ("en", "de", "fr")}
+    out = mix_corpora(srcs, {"en": 2.5, "de": 0.5, "fr": 1.0}, "doc_id", seed=7)
+    return (
+        out.select("source", "doc_id", F.col("copy").cast("long").alias("copy"))
+        .orderBy("source", "doc_id", "copy")
+    )
+
+
+def _mixed_corpus_oracle_sql() -> str:
+    """DuckDB twin of _q_mixed_corpus — thresholds from the SAME
+    helper (imported, not copied)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from hlld_spark.operators.sampling import sample_threshold_hex
+
+    legs = []
+    for name, whole, frac in (("en", 2, 0.5), ("de", 0, 0.5), ("fr", 1, 0.0)):
+        thr = sample_threshold_hex(frac)
+        legs.append(f"""
+            SELECT '{name}' AS source, doc_id, i AS copy
+            FROM documents, range(0, {whole + 1}) r(i)
+            WHERE lang = '{name}'
+              AND i < {whole} + CASE WHEN substr(md5(doc_id || ':7:{name}'), 1, 8)
+                                          < '{thr}' THEN 1 ELSE 0 END""")
+    return " UNION ALL ".join(legs) + " ORDER BY source, doc_id, copy"
+
+
 def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style paragraph dedup gate: the fixture plants cross-doc
     boilerplate paragraphs, within-doc repeats, and empty formatting
@@ -1595,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_near_dups": _q_phash_near_dups,
         "encoding_repair": _q_encoding_repair,
         "paragraph_dedup_docs": _q_paragraph_dedup,
+        "mixed_corpus_docs": _q_mixed_corpus,
         "line_dedup_docs": _q_line_dedup,
         "nfc_normalized_docs": _q_nfc_normalized,
         "stratified_sample_docs": _q_stratified_sample,
@@ -2002,6 +2044,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_UNICODE_FIXTURE}')
             ORDER BY doc_id
         """,
+        "mixed_corpus_docs": _mixed_corpus_oracle_sql(),
         "stratified_sample_docs": _stratified_oracle_sql(),
         "blocklist_hits": _blocklist_oracle_sql(),
         "latest_fetches": """

@@ -135,3 +135,66 @@ def filter_blocklist(
     (C4 drops on ANY hit: max_hits=0)."""
     out = with_blocklist_hits(df, text_col, terms, "__bl_hits", **kwargs)
     return out.where(F.col("__bl_hits") <= max_hits).drop("__bl_hits")
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    source_col: str = "source",
+    copy_col: str = "copy",
+) -> DataFrame:
+    """Weighted training-data mixing (the Pile/Dolma source-weighting
+    step): ``weights[name]`` is the EXPECTED NUMBER OF COPIES of each
+    row from that source in the mix — <1 subsamples, >1 upsamples with
+    fractional epochs (2.5 = two full passes plus a deterministic half).
+    Every row's copy count is a pure function of (key, seed, source):
+    ``floor(w)`` copies always, plus one more iff the row's md5 hash
+    fraction falls under ``w - floor(w)`` — no RNG state, identical
+    across engines and reruns, so membership is exactly auditable.
+    Output = union of the replicated sources, tagged ``source_col``
+    and a 0-based ``copy_col`` epoch index.
+
+    Scale shape: one narrow map per source (hash + conditional
+    array-explode inside codegen), a union, no shuffle, no driver
+    traffic; Catalyst pushes the per-source column pruning into each
+    scan. Schemas must match across sources (union semantics).
+    """
+    if not sources:
+        raise ValueError("sources must be non-empty")
+    if set(sources) != set(weights):
+        raise ValueError("sources and weights must have identical keys")
+    out = None
+    for name in sorted(sources):
+        w = weights[name]
+        if w < 0:
+            raise ValueError(f"weight for {name!r} must be >= 0")
+        whole = int(w)
+        frac = w - whole
+        hexcol = F.substring(
+            F.md5(
+                F.concat(
+                    F.col(key_col).cast("string"), F.lit(f":{seed}:{name}")
+                )
+            ),
+            1,
+            _HEX_WIDTH,
+        )
+        ncopies = F.lit(whole) + (
+            hexcol < F.lit(sample_threshold_hex(frac))
+        ).cast("int")
+        part = (
+            sources[name]
+            .withColumn(source_col, F.lit(name))
+            .withColumn(
+                copy_col,
+                F.explode(
+                    F.when(
+                        ncopies > 0, F.sequence(F.lit(0), ncopies - F.lit(1))
+                    ).otherwise(F.array().cast("array<int>"))
+                ),
+            )
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

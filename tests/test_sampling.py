@@ -96,3 +96,58 @@ def test_plans_stay_in_codegen(spark):
     ):
         plan = q._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan and "Python" not in plan
+
+
+@pytest.mark.spark
+def test_mix_corpora_matches_md5_reference(spark):
+    """Weighted mixing: copy counts replicate the pure-python md5 rule
+    exactly — floor(w) copies plus one iff the hash fraction < frac."""
+    import hashlib
+
+    from hlld_spark.operators.sampling import mix_corpora, sample_threshold_hex
+
+    rows = [(i, f"text {i}", "en" if i % 2 else "de") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    srcs = {l: df.filter(df.lang == l) for l in ("en", "de")}
+    w = {"en": 1.5, "de": 0.25}
+    got = sorted(
+        (r["source"], r["doc_id"], r["copy"])
+        for r in mix_corpora(srcs, w, "doc_id", seed=3)
+        .select("source", "doc_id", "copy")
+        .collect()
+    )
+    exp = []
+    for name, wt in w.items():
+        whole = int(wt)
+        thr = sample_threshold_hex(wt - whole)
+        for i, _, l in rows:
+            if l != name:
+                continue
+            h = hashlib.md5(f"{i}:3:{name}".encode()).hexdigest()[:8]
+            exp += [(name, i, c) for c in range(whole + (1 if h < thr else 0))]
+    assert got == sorted(exp)
+    assert any(c == 1 for _, _, c in got)  # upsampled epochs exist
+
+
+@pytest.mark.spark
+def test_mix_corpora_zero_weight_and_validation(spark):
+    from hlld_spark.operators.sampling import mix_corpora
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    assert mix_corpora({"a": df}, {"a": 0.0}, "doc_id").count() == 0
+    with pytest.raises(ValueError):
+        mix_corpora({"a": df}, {"b": 1.0}, "doc_id")
+    with pytest.raises(ValueError):
+        mix_corpora({"a": df}, {"a": -0.5}, "doc_id")
+    with pytest.raises(ValueError):
+        mix_corpora({}, {}, "doc_id")
+
+
+@pytest.mark.spark
+def test_mix_corpora_is_shuffle_free(spark):
+    from hlld_spark.operators.sampling import mix_corpora
+
+    df = spark.createDataFrame([(1, "x"), (2, "y")], "doc_id long, text string")
+    out = mix_corpora({"a": df, "b": df}, {"a": 2.0, "b": 0.5}, "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan

@@ -407,3 +407,49 @@ def test_streaming_stateless_cleaning_ops(spark, tmp_path):
     q2.awaitTermination(120)
     n = spark.sql("select count(*) c from chunk_stream").collect()[0]["c"]
     assert n >= 6  # both docs split into several overlapping chunks
+
+
+@pytest.mark.spark
+def test_streaming_text_normalization_ops(spark, tmp_path):
+    """The front-of-pipeline text fixers (mojibake repair, unicode
+    normalization, within-doc line dedup) are stateless per-row maps —
+    pointing them at a readStream yields exactly the batch results as
+    files arrive."""
+    import unicodedata
+
+    from hlld_spark.operators.dedup import dedup_lines_within_doc
+    from hlld_spark.operators.encoding import mojibake_corrupt, with_encoding_repair
+    from hlld_spark.operators.normalize import with_unicode_normalization
+
+    rows = [
+        (1, mojibake_corrupt("café crème body", "cp1252", 1)),
+        (2, unicodedata.normalize("NFD", "über résumé words")),
+        (3, "nav\ncontent here\nnav"),
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "in")
+    batch.write.parquet(d)
+    stream = spark.readStream.schema(batch.schema).parquet(d)
+
+    def clean(df):
+        fixed = with_encoding_repair(df, "text", out_col="text2")
+        normed = with_unicode_normalization(fixed, "text2", "NFC", "text3")
+        return dedup_lines_within_doc(normed, "text3", out_col="final").select(
+            "doc_id", "final", "mojibake_rounds"
+        )
+
+    expected = sorted(tuple(r) for r in clean(batch).collect())
+    q = (
+        clean(stream)
+        .writeStream.format("memory")
+        .queryName("norm_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(tuple(r) for r in spark.sql("select * from norm_stream").collect())
+    assert got == expected
+    by_id = {t[0]: t for t in got}
+    assert by_id[1][1] == "café crème body" and by_id[1][2] == 1
+    assert by_id[2][1] == "über résumé words"
+    assert by_id[3][1] == "nav\ncontent here"
