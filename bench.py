@@ -292,6 +292,54 @@ def main():
     )
     extras["pack_docs_per_sec"] = round(WEB_ROWS / timings["q15_pack_offsets_web"], 1)
 
+    # q16: corpus-wide paragraph dedup (r6) — the CCNet boilerplate
+    # stage over a 500k-doc multi-paragraph slice (paragraphs derived
+    # once by inserting a newline every 8 words — derivation excluded,
+    # like q9's host column). Timing covers the full machinery: explode
+    # → (id,pos,md5) scalar exchange → keeper groupBy → flag join →
+    # id-keyed rebuild; ~3M paragraphs.
+    from hlld_spark.operators.dedup import dedup_paragraphs
+
+    paras_dir = os.path.join(tempfile.gettempdir(), f"hlld_bench_paras_{WEB_ROWS}")
+    if not os.path.exists(os.path.join(paras_dir, "_SUCCESS")):
+        web.filter(F.pmod(F.xxhash64("url"), F.lit(max(WEB_ROWS // 500000, 1))) == 0).select(
+            "url",
+            F.regexp_replace("text", r"((?:\S+\s+){8})", "$1\n").alias("text"),
+        ).write.mode("overwrite").parquet(paras_dir)
+    paras = spark.read.parquet(paras_dir)
+    n_para_docs = paras.count()
+    dedup_paragraphs(paras.limit(20000), "url", "text").agg(
+        F.sum(F.length("text"))
+    ).collect()  # warm
+    timed(
+        "q16_paragraph_dedup_web",
+        lambda: dedup_paragraphs(paras, "url", "text")
+        .agg(F.sum(F.length("text")))
+        .collect(),
+    )
+    extras["para_dedup_docs_per_sec"] = round(n_para_docs / timings["q16_paragraph_dedup_web"], 1)
+    extras["para_dedup_docs_n"] = int(n_para_docs)
+
+    # q17: front-of-pipeline text fixers (r6) — mojibake repair + NFC
+    # normalization over the full corpus. The corpus is clean ASCII, so
+    # this pins the FAST-PATH cost every real crawl pays on ~99% of its
+    # rows: the C-speed regex prefilter / is_normalized check plus the
+    # Arrow round trip.
+    from hlld_spark.operators.encoding import with_encoding_repair
+    from hlld_spark.operators.normalize import with_unicode_normalization
+
+    def _fixers(d):
+        return with_unicode_normalization(
+            with_encoding_repair(d, "text", out_col="t2"), "t2", "NFC", "t3"
+        )
+
+    _fixers(web.select("text").limit(20000)).agg(F.sum(F.length("t3"))).collect()  # warm
+    timed(
+        "q17_encoding_nfc_web",
+        lambda: _fixers(web.select("text")).agg(F.sum(F.length("t3"))).collect(),
+    )
+    extras["normalize_docs_per_sec"] = round(WEB_ROWS / timings["q17_encoding_nfc_web"], 1)
+
     spark.stop()
     total = round(sum(timings.values()), 3)
     # per-query deltas vs the previous round's recorded bench (VERDICT
