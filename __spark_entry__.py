@@ -565,6 +565,8 @@ _URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
 _PHASH_FIXTURE = "/tmp/hlld_spark_fixtures/phash_120.parquet"
 _MOJIBAKE_FIXTURE = "/tmp/hlld_spark_fixtures/mojibake_400.parquet"
 _PARAS_FIXTURE = "/tmp/hlld_spark_fixtures/paragraphs_300.parquet"
+_ENTITIES_FIXTURE = "/tmp/hlld_spark_fixtures/entities_240.parquet"
+_WEBLINES_FIXTURE = "/tmp/hlld_spark_fixtures/weblines_300.parquet"
 _UNICODE_FIXTURE = "/tmp/hlld_spark_fixtures/unicode_300.parquet"
 _BOILERPLATE_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/boilerplate_200"
 
@@ -733,6 +735,50 @@ def _q_encoding_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("text_fixed").alias("fixed"),
             F.col("mojibake_rounds").cast("long").alias("rounds"),
         )
+        .orderBy("doc_id")
+    )
+
+
+def _q_html_unescaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML-entity decode gate: the fixture stores pristine sentences
+    plus variants escaped by the FORWARD transform (html.escape /
+    decimal / hex numeric forms — never the decode code), with planted
+    fixpoint rows (bare '&', unknown '&fake;'). The engine decodes
+    with the prefiltered html.unescape kernel; the oracle reads the
+    stored pristine truth — FULL string equality per row."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.encoding import (
+        with_html_unescape,
+        write_entities_fixture,
+    )
+
+    write_entities_fixture(_ENTITIES_FIXTURE, 240)
+    docs = spark.read.parquet(_ENTITIES_FIXTURE).select("doc_id", "text")
+    return (
+        with_html_unescape(docs, "text")
+        .select("doc_id", "text")
+        .orderBy("doc_id")
+    )
+
+
+def _q_line_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RefinedWeb line-wise filtering gate: caps-nav / counter /
+    digit-run / short-crumb lines drop, sentences and empty formatting
+    lines survive, and the removed-character fraction is reported. The
+    oracle replays every rule in independent DuckDB SQL (list_filter +
+    the same ASCII-class regex ratios — int-over-int IEEE divisions,
+    so each comparison lands identically in both engines)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.text import (
+        filter_quality_lines,
+        write_weblines_fixture,
+    )
+
+    write_weblines_fixture(_WEBLINES_FIXTURE, 300)
+    docs = spark.read.parquet(_WEBLINES_FIXTURE)
+    return (
+        filter_quality_lines(docs, "text")
+        .select("doc_id", "text", "removed_char_frac")
         .orderBy("doc_id")
     )
 
@@ -1637,6 +1683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_repair": _q_encoding_repair,
         "paragraph_dedup_docs": _q_paragraph_dedup,
         "mixed_corpus_docs": _q_mixed_corpus,
+        "html_unescaped_docs": _q_html_unescaped,
+        "line_filtered_docs": _q_line_filtered,
         "line_dedup_docs": _q_line_dedup,
         "nfc_normalized_docs": _q_nfc_normalized,
         "stratified_sample_docs": _q_stratified_sample,
@@ -2045,6 +2093,34 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "mixed_corpus_docs": _mixed_corpus_oracle_sql(),
+        "html_unescaped_docs": f"""
+            SELECT doc_id, clean_text AS text
+            FROM read_parquet('{_ENTITIES_FIXTURE}')
+            ORDER BY doc_id
+        """,
+        "line_filtered_docs": rf"""
+            WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
+                       FROM read_parquet('{_WEBLINES_FIXTURE}')),
+             k AS (SELECT doc_id, text,
+                    COALESCE(array_to_string(list_filter(ls, x ->
+                      length(trim(x)) = 0 OR NOT (
+                        (length(regexp_replace(x, '[^A-Za-z]', '', 'g')) > 0
+                          AND length(regexp_replace(x, '[^A-Z]', '', 'g'))
+                              / length(regexp_replace(x, '[^A-Za-z]', '', 'g')) > 0.7)
+                        OR length(regexp_replace(x, '[^0-9]', '', 'g'))
+                           / length(trim(x)) > 0.5
+                        OR regexp_matches(x,
+                           '^\s*\d+\s+(likes?|shares?|comments?|views?|points?|votes?)\s*$')
+                        OR (len(regexp_split_to_array(trim(x), '\s+')) <= 2
+                            AND length(trim(x)) <= 15)
+                      )), chr(10)), '') AS kept
+                   FROM l)
+            SELECT doc_id, kept AS text,
+                   CASE WHEN length(text) > 0
+                        THEN round(1.0 - length(kept)/length(text), 6)
+                        ELSE 0.0 END AS removed_char_frac
+            FROM k ORDER BY doc_id
+        """,
         "stratified_sample_docs": _stratified_oracle_sql(),
         "blocklist_hits": _blocklist_oracle_sql(),
         "latest_fetches": """

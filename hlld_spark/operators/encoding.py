@@ -182,3 +182,93 @@ def write_mojibake_fixture(path: str, n: int, seed: int = 31) -> str:
     pq.write_table(pa.table(cols), tmp)
     os.replace(tmp, path)
     return path
+
+
+# ---------------------------------------------------------------------------
+# HTML entity decoding
+# ---------------------------------------------------------------------------
+
+
+def unescape_html_batch(texts: pd.Series) -> pd.Series:
+    """Decode HTML entities (``&amp;`` ``&#233;`` ``&#x27;`` and the
+    full named table) for one Arrow batch. A C-speed literal ``&``
+    prefilter skips rows that cannot contain an entity — on extracted
+    main text most rows are clean, so the Python call touches only the
+    suspicious tail. Bare ampersands that aren't entities pass through
+    (``html.unescape`` semantics). Nulls stay null."""
+    import html
+
+    out = texts.to_numpy(dtype=object).copy()
+    has_amp = texts.str.contains("&", regex=False, na=False).to_numpy()
+    for j in np.flatnonzero(has_amp):
+        out[j] = html.unescape(out[j])
+    return pd.Series(out)
+
+
+def with_html_unescape(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Add (or replace) ``out_col`` with HTML entities decoded — the
+    standard post-extraction cleanup (boilerplate removal leaves
+    ``&amp;`` ``&quot;`` etc. in the text layer). Per-partition map,
+    no shuffle."""
+    out_col = out_col or text_col
+
+    @F.pandas_udf(StringType())
+    def _unesc(texts: pd.Series) -> pd.Series:
+        return unescape_html_batch(texts)
+
+    return df.withColumn(out_col, _unesc(F.col(text_col)))
+
+
+def write_entities_fixture(path: str, n: int, seed: int = 41) -> str:
+    """Deterministic HTML-entity fixture (idempotent): pristine
+    sentences stored alongside variants escaped by the FORWARD
+    transform (``html.escape`` plus cycling named / decimal / hex
+    numeric forms — never the decode code). Bare-ampersand and
+    entity-free rows are planted as fixpoints."""
+    import html
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    frags = [
+        'he said "fish & chips" <b>loudly</b>',
+        "café ’quoted’ & more",
+        "a < b && b > c",
+        "plain text with no markup at all",
+        "x&y is not an entity, nor &fake;",
+        "tom & jerry's <i>show</i>",
+    ]
+    rows = []
+    for i in range(n):
+        clean = f"doc {i}: {frags[i % len(frags)]} / {frags[(i * 5 + seed) % len(frags)]}."
+        mode = i % 4
+        if mode == 0:
+            escaped = clean  # fixpoint row: decode must not touch it...
+            # ...unless the pristine text itself contains an entity-like
+            # token (&fake; is not in the named table -> still fixpoint)
+        elif mode == 1:
+            escaped = html.escape(clean, quote=True)
+        elif mode == 2:
+            escaped = "".join(
+                f"&#{ord(c)};" if ord(c) > 126 or c in '<>&"' else c for c in clean
+            )
+        else:
+            escaped = "".join(
+                f"&#x{ord(c):x};" if ord(c) > 126 or c in '<>&"' else c for c in clean
+            )
+        rows.append((i, escaped, clean))
+    cols = {
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+        "clean_text": pa.array([r[2] for r in rows], pa.string()),
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return path

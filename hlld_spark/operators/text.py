@@ -302,3 +302,124 @@ def hot_fingerprints(df: DataFrame, id_col: str, fp_col: str = "fingerprints",
     cap excluded."""
     ex = df.select(F.col(id_col).alias("id"), F.explode(fp_col).alias("fp"))
     return ex.groupBy("fp").agg(F.count("*").alias("doc_freq")).filter(F.col("doc_freq") > max_doc_freq)
+
+
+# ---------------------------------------------------------------------------
+# line-wise quality filtering (RefinedWeb-style)
+# ---------------------------------------------------------------------------
+
+
+def filter_quality_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    sep: str = "\n",
+    max_upper_ratio: float = 0.7,
+    max_digit_ratio: float = 0.5,
+    max_nav_words: int = 2,
+    max_nav_chars: int = 15,
+    max_removed_frac: float | None = None,
+    frac_col: str = "removed_char_frac",
+    out_col: str | None = None,
+) -> DataFrame:
+    """RefinedWeb-style LINE-wise cleanup (Penedo et al. 2023 §3.3:
+    after boilerplate removal, surviving junk is line-shaped — caps-only
+    nav crumbs, social counters, digit runs). Drops a line when it is
+
+    * mostly uppercase (``[A-Z]``/``[A-Za-z]`` > ``max_upper_ratio``),
+    * mostly digits (``[0-9]``/trimmed length > ``max_digit_ratio``),
+    * a social counter (``"3 likes"``, ``"12 shares"`` …), or
+    * a short nav crumb (≤ ``max_nav_words`` words AND ≤
+      ``max_nav_chars`` chars — "Home", "Read more").
+
+    Empty/whitespace lines pass through (formatting). Adds ``frac_col``
+    = the fraction of CHARACTERS removed; if ``max_removed_frac`` is
+    set, docs whose fraction exceeds it are dropped entirely (the
+    RefinedWeb doc-level escalation: a page that is mostly junk lines
+    is junk). Ratios are plain int-over-int IEEE divisions on ASCII
+    classes, so the DuckDB oracle reproduces every comparison exactly.
+
+    Pure Catalyst higher-order functions — zero exchange, zero Python.
+    """
+    out_col = out_col or text_col
+    counter_re = r"^\s*\d+\s+(likes?|shares?|comments?|views?|points?|votes?)\s*$"
+
+    def _keep(x):
+        t = F.trim(x)
+        letters = F.length(F.regexp_replace(x, "[^A-Za-z]", ""))
+        uppers = F.length(F.regexp_replace(x, "[^A-Z]", ""))
+        digits = F.length(F.regexp_replace(x, "[^0-9]", ""))
+        words = F.size(F.split(t, r"\s+", -1))
+        drop = (
+            ((letters > 0) & (uppers / letters > F.lit(max_upper_ratio)))
+            | (digits / F.length(t) > F.lit(max_digit_ratio))
+            | x.rlike(counter_re)
+            | ((words <= max_nav_words) & (F.length(t) <= max_nav_chars))
+        )
+        return (F.length(t) == 0) | ~drop
+
+    arr = F.split(F.col(text_col), "\\Q" + sep + "\\E", -1)
+    kept = F.array_join(F.filter(arr, _keep), sep)
+    frac = F.when(
+        F.length(F.col(text_col)) > 0,
+        1.0 - F.length(kept) / F.length(F.col(text_col)),
+    ).otherwise(F.lit(0.0))
+    out = df.withColumn(frac_col, F.round(frac, 6)).withColumn(
+        out_col,
+        F.when(F.col(text_col).isNull(), F.lit(None).cast("string")).otherwise(kept),
+    )
+    if max_removed_frac is not None:
+        out = out.filter(
+            F.col(text_col).isNull() | (F.col(frac_col) <= F.lit(max_removed_frac))
+        )
+    return out
+
+
+def write_weblines_fixture(path: str, n: int, seed: int = 23) -> str:
+    """Deterministic line-junk fixture (idempotent): docs interleave
+    real sentences with the junk shapes the line filter targets (caps
+    nav, social counters, digit runs, short crumbs, empty lines).
+    Truth is NOT stored — the driver oracle replays the rules in
+    independent DuckDB SQL."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    junk = [
+        "HOME ABOUT CONTACT US",
+        "3 likes",
+        "12 shares",
+        "123456 7890",
+        "Home",
+        "Read more",
+        "MENU",
+        "42 comments",
+        "v2",
+        "",
+    ]
+    good = [
+        "This is a normal sentence with mixed case words.",
+        "Another fine line of body text, 2 numbers in it 42.",
+        "short but has four words here",
+        "NASA said the ISS orbit is fine today.",
+        "A final good line mentioning 7 items and more.",
+    ]
+    rows = []
+    for i in range(n):
+        k = 4 + (i * seed) % 4
+        lines = []
+        for j in range(k):
+            r = (i * 13 + j * 7 + seed) % 15
+            lines.append(junk[r] if r < 10 else good[r - 10])
+        rows.append((i, "\n".join(lines)))
+    cols = {
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[1] for r in rows], pa.string()),
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return path

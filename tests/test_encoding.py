@@ -117,3 +117,74 @@ def test_spark_with_encoding_repair(spark):
     assert got[1] == ("plain ascii", 0)
     assert got[2] == ("it’s “quoted”", 2)
     assert got[3] == ("", 0)
+
+
+# ---------------------------------------------------------------------------
+# HTML entity decoding
+# ---------------------------------------------------------------------------
+
+from hlld_spark.operators.encoding import (  # noqa: E402
+    unescape_html_batch,
+    with_html_unescape,
+    write_entities_fixture,
+)
+
+
+def test_unescape_batch_matches_stdlib():
+    import html
+
+    cases = [
+        "fish &amp; chips",
+        "caf&eacute; &#233; &#xe9;",
+        "a &lt; b &amp;&amp; b &gt; c",
+        "no entities at all",
+        "bare & ampersand and &fake; unknown",
+        "&quot;quoted&quot; &#39;apos&#39;",
+        None,
+    ]
+    got = unescape_html_batch(pd.Series(cases, dtype=object))
+    for src, out in zip(cases, got):
+        if src is None:
+            assert out is None
+        else:
+            assert out == html.unescape(src)
+
+
+def test_unescape_prefilter_skips_clean_rows():
+    # rows without '&' must be returned IDENTICAL objects (prefilter
+    # never touches them), proving the fast path short-circuits
+    clean = "plain text no entity"
+    s = pd.Series([clean, "x &amp; y"], dtype=object)
+    out = unescape_html_batch(s)
+    assert out[0] is s[0]
+    assert out[1] == "x & y"
+
+
+def test_entities_fixture_forward_transform(tmp_path):
+    import html
+
+    path = str(tmp_path / "ents.parquet")
+    write_entities_fixture(path, 48)
+    df = pd.read_parquet(path)
+    assert len(df) == 48
+    # every stored escaped text decodes back to the stored pristine text
+    for _, row in df.iterrows():
+        assert html.unescape(row["text"]) == row["clean_text"]
+    # fixture contains genuine fixpoints AND genuinely escaped rows
+    assert (df["text"] == df["clean_text"]).any()
+    assert (df["text"] != df["clean_text"]).any()
+
+
+def test_spark_with_html_unescape(spark):
+    rows = [
+        (0, "fish &amp; chips"),
+        (1, "clean row"),
+        (2, "&#x63;af&#233; &lt;b&gt;"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in with_html_unescape(df).collect()}
+    assert got[0] == "fish & chips"
+    assert got[1] == "clean row"
+    assert got[2] == "café <b>"
+    assert got[3] is None
