@@ -783,6 +783,86 @@ def _q_line_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance-resampling gate (Xie et al. 2023): target
+    corpus = the English slice of `documents`, raw corpus = all of
+    `documents`; hashed unigram+bigram bucket models (md5-hex-prefix
+    buckets, additive smoothing), per-doc log-likelihood-ratio
+    weights, Gumbel-top-k draw of 120 docs — every stage a pure
+    function of the data, so the oracle replays the ENTIRE chain in
+    DuckDB (list ops + md5 + ('0x'||hex)::UBIGINT Gumbel) and the
+    gate checks EXACT selection membership plus the weight values."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.dsir import (
+        dsir_logratio_table,
+        dsir_resample,
+        hashed_ngram_counts,
+        with_importance_weights,
+    )
+
+    docs = _load(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    tab = dsir_logratio_table(
+        hashed_ngram_counts(target), hashed_ngram_counts(docs)
+    )
+    w = with_importance_weights(docs, tab)
+    sel = dsir_resample(docs.select("doc_id", "lang"), w, k=120, seed=13)
+    return (
+        sel.join(w, "doc_id")
+        .select("doc_id", "lang", F.round("dsir_logw", 6).alias("dsir_logw"))
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_oracle_sql() -> str:
+    """DuckDB twin of _q_dsir_selected: unigram+bigram md5-prefix
+    buckets via list ops, smoothed log-ratio, deterministic Gumbel
+    from the same md5 hex prefix, top-120 by (score desc, doc_id)."""
+    g = (
+        "-ln(-ln(((('0x' || substr(md5(doc_id::VARCHAR || ':13'), 1, 12))::UBIGINT"
+        ") + 0.5) / 281474976710656.0))"
+    )
+    return f"""
+        WITH l AS (
+          SELECT doc_id, lang,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> length(x) > 0) AS ts
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, lang, unnest(list_transform(ts,
+                   t -> substr(md5(t), 1, 4))) AS b FROM l
+          UNION ALL
+          SELECT doc_id, lang, unnest(list_transform(range(1, len(ts)),
+                   i -> substr(md5(ts[i] || ' ' || ts[i+1]), 1, 4))) AS b FROM l
+        ),
+        tc AS (SELECT b, count(*) AS ct FROM grams WHERE lang = 'en' GROUP BY 1),
+        rc AS (SELECT b, count(*) AS cr FROM grams GROUP BY 1),
+        tot AS (SELECT (SELECT sum(ct) FROM tc) AS nt,
+                       (SELECT sum(cr) FROM rc) AS nr),
+        lr AS (
+          SELECT rc.b,
+                 ln((COALESCE(tc.ct, 0) + 1.0) / (tot.nt + 65536.0))
+               - ln((rc.cr + 1.0) / (tot.nr + 65536.0)) AS logratio
+          FROM rc LEFT JOIN tc USING (b), tot
+        ),
+        w AS (
+          SELECT g.doc_id, any_value(g.lang) AS lang,
+                 sum(lr.logratio) AS logw
+          FROM grams g JOIN lr ON g.b = lr.b
+          GROUP BY g.doc_id
+        ),
+        sel AS (
+          SELECT doc_id, lang, logw
+          FROM w
+          ORDER BY logw + {g} DESC, doc_id
+          LIMIT 120
+        )
+        SELECT doc_id, lang, round(logw, 6) AS dsir_logw
+        FROM sel ORDER BY doc_id
+    """
+
+
 def _q_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus-mixing gate (the Pile/Dolma source-weighting
     step): the en/de/fr slices of `documents` mix at weights 2.5 /
@@ -1683,6 +1763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encoding_repair": _q_encoding_repair,
         "paragraph_dedup_docs": _q_paragraph_dedup,
         "mixed_corpus_docs": _q_mixed_corpus,
+        "dsir_selected_docs": _q_dsir_selected,
         "html_unescaped_docs": _q_html_unescaped,
         "line_filtered_docs": _q_line_filtered,
         "line_dedup_docs": _q_line_dedup,
@@ -2093,6 +2174,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "mixed_corpus_docs": _mixed_corpus_oracle_sql(),
+        "dsir_selected_docs": _dsir_oracle_sql(),
         "html_unescaped_docs": f"""
             SELECT doc_id, clean_text AS text
             FROM read_parquet('{_ENTITIES_FIXTURE}')
