@@ -863,6 +863,75 @@ def _dsir_oracle_sql() -> str:
     """
 
 
+_QUALITY_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/quality_clf"
+
+
+def _q_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fastText-style quality-classifier scoring gate: the fixture
+    stores a held-out labeled test set plus a model trained by the
+    INDEPENDENT numpy reference trainer (dense matrix GD — the Spark
+    trainer is pytest-gated against it separately); the engine scores
+    with the pure-Catalyst broadcast-join path and the oracle replays
+    the same hashed-feature sigmoid scoring in DuckDB SQL over the
+    stored weights."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.quality import score_quality, write_quality_fixture
+
+    write_quality_fixture(_QUALITY_FIXTURE_DIR, 200, 120)
+    test = spark.read.parquet(f"{_QUALITY_FIXTURE_DIR}/test.parquet")
+    model = spark.read.parquet(f"{_QUALITY_FIXTURE_DIR}/model.parquet")
+    scores = score_quality(test, model)
+    return (
+        test.select("doc_id", "label")
+        .join(scores, "doc_id")
+        .select(
+            "doc_id",
+            "label",
+            F.round("quality_score", 6).alias("quality_score"),
+            (F.col("quality_score") >= 0.5).cast("int").alias("pred"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _quality_oracle_sql() -> str:
+    d = _QUALITY_FIXTURE_DIR
+    return f"""
+        WITH m AS (SELECT bucket, w FROM read_parquet('{d}/model.parquet')),
+        l AS (
+          SELECT doc_id, label,
+                 list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> length(x) > 0) AS ts
+          FROM read_parquet('{d}/test.parquet')
+        ),
+        g AS (
+          SELECT doc_id, len(ts) + greatest(len(ts) - 1, 0) AS n,
+                 unnest(list_transform(ts, t -> substr(md5(t), 1, 4))) AS bkt
+          FROM l
+          UNION ALL
+          SELECT doc_id, len(ts) + greatest(len(ts) - 1, 0) AS n,
+                 unnest(list_transform(range(1, len(ts)),
+                        i -> substr(md5(ts[i] || ' ' || ts[i+1]), 1, 4))) AS bkt
+          FROM l
+        ),
+        s AS (
+          SELECT g.doc_id, any_value(g.n) AS n, sum(COALESCE(m.w, 0)) AS dot
+          FROM g LEFT JOIN m ON g.bkt = m.bucket
+          GROUP BY g.doc_id
+        ),
+        sc AS (
+          SELECT doc_id,
+                 1.0 / (1.0 + exp(-(dot / n +
+                   (SELECT w FROM m WHERE bucket = '_b__')))) AS score
+          FROM s
+        )
+        SELECT l.doc_id, l.label, round(sc.score, 6) AS quality_score,
+               CASE WHEN sc.score >= 0.5 THEN 1 ELSE 0 END AS pred
+        FROM l JOIN sc ON l.doc_id = sc.doc_id
+        ORDER BY l.doc_id
+    """
+
+
 def _q_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus-mixing gate (the Pile/Dolma source-weighting
     step): the en/de/fr slices of `documents` mix at weights 2.5 /
@@ -1764,6 +1833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup_docs": _q_paragraph_dedup,
         "mixed_corpus_docs": _q_mixed_corpus,
         "dsir_selected_docs": _q_dsir_selected,
+        "quality_scores": _q_quality_scores,
         "html_unescaped_docs": _q_html_unescaped,
         "line_filtered_docs": _q_line_filtered,
         "line_dedup_docs": _q_line_dedup,
@@ -2175,6 +2245,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mixed_corpus_docs": _mixed_corpus_oracle_sql(),
         "dsir_selected_docs": _dsir_oracle_sql(),
+        "quality_scores": _quality_oracle_sql(),
         "html_unescaped_docs": f"""
             SELECT doc_id, clean_text AS text
             FROM read_parquet('{_ENTITIES_FIXTURE}')
