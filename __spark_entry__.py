@@ -932,6 +932,52 @@ def _quality_oracle_sql() -> str:
     """
 
 
+_MEGATRON_DS_DIR = "/tmp/hlld_spark_fixtures/megatron_ds"
+
+
+def _q_indexed_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indexed-dataset sink gate: tokenize `documents` with the shared
+    whitespace tokenizer, map each token to a 16-bit id via its md5
+    hex prefix (cross-engine deterministic), write the Megatron-layout
+    .bin/.idx shards + manifest, and return the manifest AS READ BACK
+    FROM DISK. The oracle recomputes every manifest column (doc/token
+    counts, exact .bin/.idx byte formulas, doc-id ranges) from the
+    raw table in DuckDB — so the gate verifies what the sink actually
+    committed, not what it intended. Pytest separately verifies the
+    binary layout byte-for-byte and the token roundtrip."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.dsir import _tokens
+    from hlld_spark.sources.indexed_dataset import write_indexed_dataset
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.transform(
+        _tokens(F.col("text")),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
+    )
+    with_ids = docs.select("doc_id", toks.alias("tokens"))
+    man = write_indexed_dataset(with_ids, _MEGATRON_DS_DIR, n_shards=8)
+    return man.orderBy("shard_id")
+
+
+def _indexed_dataset_oracle_sql() -> str:
+    return r"""
+        WITH l AS (
+          SELECT doc_id,
+                 len(list_filter(string_split_regex(trim(text), '\s+'),
+                                 x -> length(x) > 0)) AS n
+          FROM documents
+        )
+        SELECT (doc_id % 8)::INT AS shard_id,
+               count(*)::BIGINT AS n_docs,
+               sum(n)::BIGINT AS n_tokens,
+               (2 * sum(n))::BIGINT AS bin_bytes,
+               (42 + 20 * count(*))::BIGINT AS idx_bytes,
+               min(doc_id)::BIGINT AS min_doc_id,
+               max(doc_id)::BIGINT AS max_doc_id
+        FROM l GROUP BY 1 ORDER BY 1
+    """
+
+
 def _q_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted corpus-mixing gate (the Pile/Dolma source-weighting
     step): the en/de/fr slices of `documents` mix at weights 2.5 /
@@ -1834,6 +1880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixed_corpus_docs": _q_mixed_corpus,
         "dsir_selected_docs": _q_dsir_selected,
         "quality_scores": _q_quality_scores,
+        "indexed_dataset_manifest": _q_indexed_dataset_manifest,
         "html_unescaped_docs": _q_html_unescaped,
         "line_filtered_docs": _q_line_filtered,
         "line_dedup_docs": _q_line_dedup,
@@ -2246,6 +2293,7 @@ def oracle_sql() -> dict[str, str]:
         "mixed_corpus_docs": _mixed_corpus_oracle_sql(),
         "dsir_selected_docs": _dsir_oracle_sql(),
         "quality_scores": _quality_oracle_sql(),
+        "indexed_dataset_manifest": _indexed_dataset_oracle_sql(),
         "html_unescaped_docs": f"""
             SELECT doc_id, clean_text AS text
             FROM read_parquet('{_ENTITIES_FIXTURE}')
