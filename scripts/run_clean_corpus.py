@@ -76,6 +76,26 @@ def main() -> None:
         "corrupted refetches collapse with their clean twins in dedup",
     )
     ap.add_argument(
+        "--unescape-html",
+        action="store_true",
+        help="decode HTML entities (&amp; &#233; &#x27; and the named "
+        "table) left in the text layer by extraction "
+        "(operators/encoding.py::with_html_unescape); runs after "
+        "encoding repair, before unicode normalization",
+    )
+    ap.add_argument(
+        "--filter-lines",
+        action="store_true",
+        help="RefinedWeb-style line-wise cleanup before dedup "
+        "(operators/text.py::filter_quality_lines): caps-nav, digit-run, "
+        "social-counter and short-crumb lines drop",
+    )
+    ap.add_argument(
+        "--max-line-removed-frac", type=float, default=None,
+        help="with --filter-lines: drop a document entirely when more "
+        "than this fraction of its characters were junk lines",
+    )
+    ap.add_argument(
         "--normalize-unicode",
         default=None,
         choices=["NFC", "NFKC", "NFD", "NFKD"],
@@ -136,6 +156,30 @@ def main() -> None:
     )
     ap.add_argument("--min-quality", type=float, default=0.3)
     ap.add_argument("--max-dup-word-ratio", type=float, default=0.7)
+    ap.add_argument(
+        "--quality-model", default=None,
+        help="path to a trained classifier model parquet (or a fixture "
+        "dir containing model.parquet) — score docs with the "
+        "fastText-style hashed-feature LR (operators/quality.py) and "
+        "keep those >= --min-model-quality",
+    )
+    ap.add_argument("--min-model-quality", type=float, default=0.5)
+    ap.add_argument(
+        "--dsir-target", default=None,
+        help="target-distribution table for DSIR importance resampling "
+        "(operators/dsir.py): keep --dsir-k docs drawn ∝ softmax of the "
+        "hashed-n-gram log-likelihood ratio vs this corpus",
+    )
+    ap.add_argument("--dsir-k", type=int, default=None)
+    ap.add_argument("--dsir-seed", type=int, default=0)
+    ap.add_argument(
+        "--write-megatron", default=None, metavar="DIR",
+        help="ALSO export the survivors as Megatron-layout .bin/.idx "
+        "shards + manifest (sources/indexed_dataset.py); token ids come "
+        "from the 16-bit md5 hash tokenizer (swap in learned BPE ids "
+        "upstream for production training)",
+    )
+    ap.add_argument("--megatron-shards", type=int, default=64)
     ap.add_argument(
         "--max-ppl", type=float, default=None,
         help="drop docs whose self-scored stupid-backoff trigram "
@@ -241,8 +285,17 @@ def main() -> None:
         args.max_ppl, args.min_ppl, args.ppl_min_count, args.redact_pii,
         args.blocklist, args.blocklist_max_hits, args.stratified_sample,
         args.strata_col, args.sample_seed, args.remove_dup_spans,
+        # every stage-shaping flag must be in the signature, else a
+        # toggled flag silently resumes checkpoints computed without it
+        args.fix_encoding, args.normalize_unicode, args.dedup_lines,
+        args.dedup_paragraphs, args.unescape_html, args.filter_lines,
+        args.max_line_removed_frac, args.quality_model,
+        args.min_model_quality, args.dsir_target, args.dsir_k,
+        args.dsir_seed,
         _input_fingerprint(args.input),
         _input_fingerprint(args.eval_table) if args.eval_table else None,
+        _input_fingerprint(args.dsir_target) if args.dsir_target else None,
+        _input_fingerprint(args.quality_model) if args.quality_model else None,
     ]
     run_sig = hashlib.sha256(json.dumps(sig_fields, default=str).encode()).hexdigest()[:16]
     ckpt_root = args.stage_checkpoint_dir
@@ -260,15 +313,23 @@ def main() -> None:
 
     stage_order = (
         (["extract_main_text"] if args.extract_main_text else [])
+        + (["fix_encoding"] if args.fix_encoding else [])
+        + (["unescape_html"] if args.unescape_html else [])
+        + (["normalize_unicode"] if args.normalize_unicode else [])
+        + (["filter_lines"] if args.filter_lines else [])
         + (["canonicalize_urls"] if args.canonicalize_urls else [])
         + ["exact_dedup"]
+        + (["dedup_lines"] if args.dedup_lines else [])
+        + (["dedup_paragraphs"] if args.dedup_paragraphs else [])
         + (["near_dup_dedup"] if args.near_dup else [])
         + (["decontaminate"] if args.eval_table else [])
         + (["remove_dup_spans"] if args.remove_dup_spans else [])
         + ["quality_filter"]
+        + (["quality_model_filter"] if args.quality_model else [])
         + (["blocklist_filter"] if args.blocklist else [])
         + (["ppl_filter"] if args.max_ppl is not None else [])
         + (["lang_filter"] if args.langs else [])
+        + (["dsir_resample"] if args.dsir_target else [])
         + (["stratified_sample"] if args.stratified_sample else [])
         + (["redact_pii"] if args.redact_pii else [])
     )
@@ -351,6 +412,17 @@ def main() -> None:
             "sloppy-cp1252 inversion of utf-8 mojibake",
         )
 
+    # -0.45 HTML entity decode (optional): extraction leaves &amp; etc.
+    # in the text layer; decode before normalization and hashing
+    if args.unescape_html:
+        from hlld_spark.operators.encoding import with_html_unescape
+
+        run_stage(
+            "unescape_html",
+            lambda d: with_html_unescape(d, args.text_col),
+            "html.unescape with C-speed '&' prefilter",
+        )
+
     # -0.4 unicode normalization (optional): NFC/NFKC so normalization
     # variants of the same text share a content hash downstream
     if args.normalize_unicode:
@@ -362,6 +434,24 @@ def main() -> None:
                 d, args.text_col, args.normalize_unicode
             ),
             f"{args.normalize_unicode} via unicodedata (is_normalized fast path)",
+        )
+
+    # -0.3 line-wise corrections (optional, RefinedWeb §3.3): junk
+    # lines drop BEFORE dedup so cleaned texts share content hashes
+    if args.filter_lines:
+        from hlld_spark.operators.text import filter_quality_lines
+
+        run_stage(
+            "filter_lines",
+            lambda d: filter_quality_lines(
+                d, args.text_col, max_removed_frac=args.max_line_removed_frac
+            ).drop("removed_char_frac"),
+            "caps-nav/digit-run/counter/crumb lines dropped"
+            + (
+                f"; docs >{args.max_line_removed_frac} junk dropped"
+                if args.max_line_removed_frac is not None
+                else ""
+            ),
         )
 
     # 0. URL canonicalization (optional): refetch families
@@ -487,6 +577,25 @@ def main() -> None:
         f"quality>={args.min_quality}, dup_word_ratio<={args.max_dup_word_ratio}",
     )
 
+    # 4a-. model-based quality filter (optional): fastText-style hashed
+    # LR classifier scores (broadcast weight join, pure Catalyst)
+    if args.quality_model:
+        from hlld_spark.operators.quality import filter_by_quality
+
+        mp = args.quality_model
+        if os.path.isdir(mp) and os.path.exists(os.path.join(mp, "model.parquet")):
+            mp = os.path.join(mp, "model.parquet")
+        model = spark.read.parquet(mp)
+
+        run_stage(
+            "quality_model_filter",
+            lambda d: filter_by_quality(
+                d, model, args.min_model_quality,
+                id_col=args.id_col, text_col=args.text_col,
+            ),
+            f"classifier score >= {args.min_model_quality}",
+        )
+
     # 4a. blocklist filter (optional): C4-style bad-words drop
     if args.blocklist:
         from hlld_spark.operators.sampling import filter_blocklist
@@ -524,6 +633,37 @@ def main() -> None:
             "lang_filter",
             lambda d: with_lang_id_profiles(d, args.text_col).filter(F.col("lang_id").isin(allow)),
             f"allow {allow}",
+        )
+
+    # 5a. DSIR importance resampling (optional): draw --dsir-k docs
+    # ∝ softmax of the hashed-n-gram LLR vs the target distribution
+    if args.dsir_target:
+        if not args.dsir_k:
+            ap.error("--dsir-target requires --dsir-k")
+        from hlld_spark.operators.dsir import (
+            dsir_logratio_table,
+            dsir_resample,
+            hashed_ngram_counts,
+            with_importance_weights,
+        )
+
+        def dsir(d):
+            tgt = read_table(spark, args.dsir_target)
+            tab = dsir_logratio_table(
+                hashed_ngram_counts(tgt, args.text_col),
+                hashed_ngram_counts(d, args.text_col),
+            )
+            w = with_importance_weights(
+                d, tab, id_col=args.id_col, text_col=args.text_col
+            )
+            return dsir_resample(
+                d, w, args.dsir_k, id_col=args.id_col, seed=args.dsir_seed
+            )
+
+        run_stage(
+            "dsir_resample",
+            dsir,
+            f"Gumbel-top-{args.dsir_k} vs {args.dsir_target} (seed {args.dsir_seed})",
         )
 
     # 5b. stratified down-sampling (optional): deterministic per-lang
@@ -568,6 +708,39 @@ def main() -> None:
     )
     metrics["output"] = args.output
     metrics["format"] = fmt
+
+    # optional trainer-format export: Megatron-layout .bin/.idx shards
+    # (in ADDITION to the table output, which keeps the text columns)
+    if args.write_megatron:
+        from hlld_spark.operators.dsir import _tokens
+        from hlld_spark.sources.indexed_dataset import write_indexed_dataset
+
+        toks = F.transform(
+            _tokens(F.col(args.text_col)),
+            lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10).cast("int"),
+        )
+        ds = docs.select(
+            F.pmod(F.xxhash64(F.col(args.id_col)), F.lit(2**62)).alias("doc_id"),
+            toks.alias("tokens"),
+        )
+        man = write_indexed_dataset(
+            ds, args.write_megatron, n_shards=args.megatron_shards
+        )
+        agg = man.agg(
+            F.count("*").alias("shards"),
+            F.sum("n_docs").alias("docs"),
+            F.sum("n_tokens").alias("tokens"),
+        ).collect()[0]
+        metrics["megatron"] = {
+            "dir": args.write_megatron,
+            "shards": int(agg["shards"]),
+            "docs": int(agg["docs"]),
+            "tokens": int(agg["tokens"]),
+        }
+        print(
+            f"[clean-corpus] megatron export: {agg['docs']} docs / "
+            f"{agg['tokens']} tokens in {agg['shards']} shards → {args.write_megatron}"
+        )
     metrics["wall_sec"] = round(time.time() - t0, 3)
     if metrics["stages"]:
         first, last = metrics["stages"][0]["rows"], metrics["stages"][-1]["rows"]

@@ -476,3 +476,91 @@ def test_pipeline_normalize_and_paragraph_stages(spark, tmp_path):
     # within-doc repeat (line dedup) AND the shared footer (paragraph dedup)
     assert got[0] == body
     assert got[2] == "another page body here"
+
+
+@pytest.mark.spark
+def test_pipeline_text_fixing_line_filter_megatron_export(spark, tmp_path):
+    """--unescape-html + --filter-lines make an entity-escaped,
+    junk-line-padded refetch collapse with its clean twin in exact
+    dedup; a mostly-junk page dies on the doc-level escalation; the
+    survivors ALSO export as Megatron .bin/.idx shards."""
+    rows = [
+        (0, "Fish &amp; chips are great\nHOME ABOUT CONTACT US\nand the meal was warm"),
+        (1, "Fish & chips are great\nand the meal was warm"),
+        (2, "a normal document that stays intact with plenty of ordinary words here"),
+        (3, "MENU\n3 likes\nHome"),  # junk-only page
+    ]
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    out = str(tmp_path / "clean")
+    mega = str(tmp_path / "mega")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", inp, "--id-col", "doc_id", "--text-col", "text",
+            "--unescape-html", "--filter-lines", "--max-line-removed-frac", "0.5",
+            "--min-quality", "0.0", "--max-dup-word-ratio", "1.0",
+            "--write-megatron", mega, "--megatron-shards", "2",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.load(open(metrics_path))
+    stages = {s["stage"]: s for s in m["stages"]}
+    assert stages["unescape_html"]["rows"] == 4
+    assert stages["filter_lines"]["rows"] == 3  # junk-only doc 3 dropped
+    assert stages["exact_dedup"]["rows"] == 2   # 0 collapsed with 1
+    kept = {r["doc_id"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert sorted(kept) == [0, 2]
+    assert kept[0] == "Fish & chips are great\nand the meal was warm"
+
+    assert m["megatron"]["docs"] == 2
+    n_toks = sum(len(t.split()) for t in kept.values())
+    assert m["megatron"]["tokens"] == n_toks
+    from hlld_spark.sources.indexed_dataset import read_indexed_dataset
+
+    back = read_indexed_dataset(spark, mega).collect()
+    assert sum(r["n_tokens"] for r in back) == n_toks
+
+
+@pytest.mark.spark
+def test_pipeline_quality_model_and_dsir_stages(spark, tmp_path):
+    """--quality-model drops classifier-flagged junk; --dsir-target
+    then resamples k survivors toward the target distribution."""
+    from hlld_spark.operators.quality import _synth_doc, write_quality_fixture
+
+    qdir = str(tmp_path / "qf")
+    write_quality_fixture(qdir, 200, 40)
+
+    rows = [(i, _synth_doc(1000 + i, i < 6)) for i in range(10)]  # 6 good, 4 junk
+    inp = str(tmp_path / "docs")
+    spark.createDataFrame(rows, "doc_id long, text string").write.parquet(inp)
+    tgt = str(tmp_path / "target")
+    spark.createDataFrame(
+        [(i, _synth_doc(5000 + i, True)) for i in range(8)], "doc_id long, text string"
+    ).write.parquet(tgt)
+
+    out = str(tmp_path / "clean")
+    metrics_path = str(tmp_path / "metrics.json")
+    r = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "scripts", "run_clean_corpus.py"),
+            "--input", inp, "--id-col", "doc_id", "--text-col", "text",
+            "--min-quality", "0.0", "--max-dup-word-ratio", "1.0",
+            "--quality-model", qdir, "--min-model-quality", "0.5",
+            "--dsir-target", tgt, "--dsir-k", "3",
+            "--output", out, "--metrics", metrics_path, "--cpus", "4",
+        ],
+        capture_output=True, text=True, timeout=600, cwd=REPO,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    m = json.load(open(metrics_path))
+    stages = {s["stage"]: s for s in m["stages"]}
+    assert stages["quality_model_filter"]["rows"] == 6  # the 4 junk docs die
+    assert stages["dsir_resample"]["rows"] == 3
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(out).collect())
+    assert len(kept) == 3 and all(i < 6 for i in kept)  # drawn from the good docs
