@@ -560,6 +560,7 @@ def _q_clean_corpus_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/assets_200.parquet"
 _REAL_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/real_assets_v6_200.parquet"
+_ANIM_ASSETS_FIXTURE = "/tmp/hlld_spark_fixtures/anim_assets_v1_160.parquet"
 _WARC_FIXTURE_DIR = "/tmp/hlld_spark_fixtures/warc_240"
 _URLS_FIXTURE = "/tmp/hlld_spark_fixtures/urls_400.parquet"
 _PHASH_FIXTURE = "/tmp/hlld_spark_fixtures/phash_120.parquet"
@@ -1629,6 +1630,49 @@ def _q_multimodal_real_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("asset_id")
 
 
+def _q_gif_mjpeg_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF + Motion-JPEG codecs, driver-gated (r6): fixture payloads
+    are actual GIF87a/89a files (single-frame with interlace cycling,
+    full-frame animations with GCE delays, and a HAND-ASSEMBLED
+    two-frame delta animation whose second frame paints a sub-rect with
+    a transparent index over unchanged pixels) and MJPG-fourcc AVI
+    containers (one baseline JPEG per frame chunk). The oracle reads
+    GROUND-TRUTH columns composed at generation with independent numpy
+    (truth canvases for the delta GIF; encoder-side dequant+IDCT for
+    MJPEG — the JPEG entropy-exactness trick), so a wrong LZW width, a
+    mis-placed sub-rect, a dropped transparency bit, or a broken
+    per-frame huffman decode all hash-mismatch. Columns: first-frame
+    channel-0 mean (image leg), frame-0 and LAST-frame full means
+    (video leg, every_n=1), and a 4x4 resize -> GIF re-encode -> second
+    decode mean that pins the GIF ENCODER too."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.multimodal import (
+        extract_image_features,
+        parse_metadata,
+        resize_images,
+        sample_video_frames,
+        write_anim_assets_fixture,
+    )
+
+    write_anim_assets_fixture(_ANIM_ASSETS_FIXTURE, 160)
+    assets = spark.read.parquet(_ANIM_ASSETS_FIXTURE).select("asset_id", "kind", "payload")
+    out = sample_video_frames(extract_image_features(parse_metadata(assets)), every_n=1)
+    out = extract_image_features(
+        resize_images(out, 4, 4), payload_col="resized", out="rfeatures"
+    )
+    return out.select(
+        "asset_id",
+        "kind",
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_frames").alias("n_frames"),
+        F.col("features")[0].alias("chan0_mean"),
+        F.col("frame_features")[0].alias("frame0_mean"),
+        F.element_at(F.col("frame_features"), -1).alias("last_frame_mean"),
+        F.col("rfeatures")[0].alias("resized_mean"),
+    ).orderBy("asset_id")
+
+
 def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal metadata parsing + feature extraction with a FULL exact
     oracle (VERDICT r1 task 1a): the deterministic asset fixture is
@@ -1856,6 +1900,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_flagged_tokens": _q_decontamination_flagged_tokens,
         "clean_corpus_survivors": _q_clean_corpus_survivors,
         "multimodal_real_codecs": _q_multimodal_real_codecs,
+        "gif_mjpeg_codecs": _q_gif_mjpeg_codecs,
         "warc_pages_by_host": _q_warc_pages_by_host,
         "url_domain_stats": _q_url_domain_stats,
         "pq_recall_violations": _q_pq_recall_violations,
@@ -2181,6 +2226,12 @@ def oracle_sql() -> dict[str, str]:
                    sample_rate, n_samples, n_frames, chan0_mean, samp_sum,
                    resized_mean
             FROM read_parquet('{_REAL_ASSETS_FIXTURE}')
+            ORDER BY asset_id
+        """,
+        "gif_mjpeg_codecs": f"""
+            SELECT asset_id, kind, width, height, n_frames,
+                   chan0_mean, frame0_mean, last_frame_mean, resized_mean
+            FROM read_parquet('{_ANIM_ASSETS_FIXTURE}')
             ORDER BY asset_id
         """,
         "pq_recall_violations": """

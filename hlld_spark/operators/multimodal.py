@@ -41,14 +41,20 @@ from pyspark.sql.types import (
 
 from ..sources.webpages import splitmix64
 from .codecs import (
+    GIF_MAGICS,
     PNG_MAGIC,
     AviFormatError,
+    GifFormatError,
     PngFormatError,
     WavFormatError,
     decode_avi,
+    decode_gif,
+    decode_gif_frames,
     decode_png,
     decode_wav,
+    encode_gif,
     parse_avi_header,
+    parse_gif_header,
     parse_png_header,
     parse_wav_header,
 )
@@ -319,6 +325,166 @@ def write_real_assets_fixture(path: str, n: int, seed: int = 42) -> str:
     return path
 
 
+def _gen_anim_asset(i: int, seed: int) -> dict:
+    """One deterministic GIF/MJPEG asset row (r6), cycling FOUR cases:
+    i%4==0 → single-frame GIF (palette sizes 2..250, interlaced every
+    other one); ==1 → animated full-frame GIF (2-5 frames, per-frame
+    GCE delays); ==2 → Motion-JPEG AVI (quality + subsampling cycling;
+    frame truth from ENCODER-side transforms only, the JPEG exactness
+    gate); ==3 → a HAND-ASSEMBLED 2-frame GIF whose second frame is a
+    sub-rect delta at (left, top) with a transparent index over the
+    unchanged pixels — the truth canvases are composed with plain numpy
+    at generation time, so a compositing bug (offset, transparency,
+    palette slot) hash-mismatches. Truth stats mirror the operators'
+    float64-mean + round(…, 6) pipeline exactly."""
+    from .codecs import _lzw_encode, encode_avi
+    from .jpeg import dequant_idct_reference, quantized_planes
+
+    r = int(splitmix64(np.array([np.uint64(i * 2 + 7) ^ np.uint64(seed)], dtype=np.uint64))[0])
+    row = {
+        "asset_id": int(i), "kind": None, "payload": None,
+        "width": None, "height": None, "n_frames": None,
+        "chan0_mean": None, "frame0_mean": None, "last_frame_mean": None,
+        "resized_mean": None,
+    }
+
+    def _pal(npal: int, salt: int) -> np.ndarray:
+        return np.frombuffer(_det_bytes(i * 7 + salt, npal * 3, seed), dtype=np.uint8).reshape(
+            npal, 3
+        )
+
+    def _resized_mean(img: np.ndarray) -> float:
+        h, w = img.shape[:2]
+        ys = (np.arange(4) * h // 4).clip(0, h - 1)
+        xs = (np.arange(4) * w // 4).clip(0, w - 1)
+        return round(float(img[ys][:, xs].astype(np.float64)[:, :, 0].mean()), 6)
+
+    if i % 4 == 0:
+        w, h = 4 + r % 29, 4 + (r >> 8) % 29
+        npal = (2, 17, 250)[(i // 4) % 3]
+        pal = _pal(npal, 0)
+        idx = np.frombuffer(_det_bytes(i * 7 + 1, w * h, seed), dtype=np.uint8) % npal
+        img = pal[idx.reshape(h, w)]
+        row.update(
+            kind="image", width=w, height=h,
+            payload=encode_gif(img, interlace=bool((i // 4) % 2)),
+            chan0_mean=round(float(img.astype(np.float64)[:, :, 0].mean()), 6),
+            frame0_mean=round(float(img.astype(np.float64).mean()), 6),
+            last_frame_mean=round(float(img.astype(np.float64).mean()), 6),
+            resized_mean=_resized_mean(img),
+        )
+    elif i % 4 == 1:
+        w, h = 4 + r % 21, 4 + (r >> 8) % 21
+        nf = 2 + (r >> 16) % 4
+        npal = 3 + (r >> 24) % 120
+        pal = _pal(npal, 0)
+        idx = np.frombuffer(_det_bytes(i * 7 + 1, nf * w * h, seed), dtype=np.uint8) % npal
+        frames = pal[idx.reshape(nf, h, w)]
+        row.update(
+            kind="video", width=w, height=h, n_frames=nf,
+            payload=encode_gif(frames, fps=20.0),
+            chan0_mean=round(float(frames[0].astype(np.float64)[:, :, 0].mean()), 6),
+            frame0_mean=round(float(frames[0].astype(np.float64).mean()), 6),
+            last_frame_mean=round(float(frames[-1].astype(np.float64).mean()), 6),
+            resized_mean=_resized_mean(frames[0]),
+        )
+    elif i % 4 == 2:
+        w, h = 8 + r % 26, 8 + (r >> 8) % 26
+        nf = 2 + (r >> 16) % 4
+        quality = (75, 85, 92)[(i // 4) % 3]
+        ss = ("4:4:4", "4:2:0", "4:2:2")[(i // 4) % 3]
+        frames = np.frombuffer(_det_bytes(i * 7 + 2, nf * h * w * 3, seed), dtype=np.uint8).reshape(
+            nf, h, w, 3
+        )
+        truth = []
+        for k in (0, nf - 1):
+            coefs, qs, samp = quantized_planes(frames[k], quality, ss)
+            truth.append(dequant_idct_reference(coefs, qs, samp, w, h, False))
+        row.update(
+            kind="video", width=w, height=h, n_frames=nf,
+            payload=encode_avi(frames, fps=15.0, codec="mjpg", quality=quality, subsampling=ss),
+            frame0_mean=round(float(truth[0].astype(np.float64).mean()), 6),
+            last_frame_mean=round(float(truth[1].astype(np.float64).mean()), 6),
+        )
+    else:
+        # hand-assembled delta animation: frame 1 paints only a sub-rect,
+        # transparent over unchanged pixels
+        w, h = 6 + r % 20, 6 + (r >> 8) % 20
+        npal = 4 + (r >> 16) % 60
+        pal = _pal(npal, 0)
+        idx0 = (np.frombuffer(_det_bytes(i * 7 + 3, w * h, seed), dtype=np.uint8) % npal).reshape(h, w)
+        canvas0 = pal[idx0]
+        fw, fh = 2 + (r >> 24) % (w - 2), 2 + (r >> 32) % (h - 2)
+        left, top = (r >> 40) % (w - fw + 1), (r >> 48) % (h - fh + 1)
+        delta = (np.frombuffer(_det_bytes(i * 7 + 4, fw * fh, seed), dtype=np.uint8) % npal).reshape(fh, fw)
+        keep = (np.frombuffer(_det_bytes(i * 7 + 5, fw * fh, seed), dtype=np.uint8) % 2).astype(bool).reshape(fh, fw)
+        idx1 = idx0.copy()
+        rect = idx1[top : top + fh, left : left + fw]
+        rect[~keep] = delta[~keep]
+        canvas1 = pal[idx1]
+        tindex = npal  # transparent slot just past the palette
+        bits = max(2, int(np.ceil(np.log2(npal + 1))))
+        table = np.zeros((1 << bits, 3), dtype=np.uint8)
+        table[:npal] = pal
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", w, h) + bytes([0x80 | (bits - 1), 0, 0]) + table.tobytes()
+
+        def frame(grid: np.ndarray, x0: int, y0: int, transparent: int | None) -> bytes:
+            gflags = 1 if transparent is not None else 0
+            buf = b"\x21\xf9\x04" + bytes([gflags]) + struct.pack("<H", 5)
+            buf += bytes([transparent if transparent is not None else 0, 0])
+            buf += b"\x2c" + struct.pack("<4H", x0, y0, grid.shape[1], grid.shape[0]) + b"\x00"
+            stream = _lzw_encode(grid.reshape(-1), bits)
+            buf += bytes([bits])
+            for off in range(0, len(stream), 255):
+                blk = stream[off : off + 255]
+                buf += bytes([len(blk)]) + blk
+            return buf + b"\x00"
+
+        f1 = delta.copy()
+        f1[keep] = tindex
+        out += frame(idx0, 0, 0, None) + frame(f1, left, top, tindex) + b"\x3b"
+        row.update(
+            kind="video", width=w, height=h, n_frames=2,
+            payload=bytes(out),
+            chan0_mean=round(float(canvas0.astype(np.float64)[:, :, 0].mean()), 6),
+            frame0_mean=round(float(canvas0.astype(np.float64).mean()), 6),
+            last_frame_mean=round(float(canvas1.astype(np.float64).mean()), 6),
+            resized_mean=_resized_mean(canvas0),
+        )
+    return row
+
+
+def write_anim_assets_fixture(path: str, n: int, seed: int = 42) -> str:
+    """Materialize the GIF/MJPEG asset fixture (r6) to one parquet file
+    with ground-truth columns (idempotent)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = [_gen_anim_asset(i, seed) for i in range(n)]
+    cols = {
+        "asset_id": pa.array([r["asset_id"] for r in rows], pa.int64()),
+        "kind": pa.array([r["kind"] for r in rows], pa.string()),
+        "payload": pa.array([r["payload"] for r in rows], pa.binary()),
+        "width": pa.array([r["width"] for r in rows], pa.int32()),
+        "height": pa.array([r["height"] for r in rows], pa.int32()),
+        "n_frames": pa.array([r["n_frames"] for r in rows], pa.int32()),
+        "chan0_mean": pa.array([r["chan0_mean"] for r in rows], pa.float64()),
+        "frame0_mean": pa.array([r["frame0_mean"] for r in rows], pa.float64()),
+        "last_frame_mean": pa.array([r["last_frame_mean"] for r in rows], pa.float64()),
+        "resized_mean": pa.array([r["resized_mean"] for r in rows], pa.float64()),
+    }
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(pa.table(cols), tmp)
+    os.replace(tmp, path)
+    return path
+
+
 def _det_bytes(asset_id: int, n: int, seed: int) -> bytes:
     words = (n + 7) // 8
     off = (int(asset_id) * 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF  # explicit u64 wrap
@@ -357,6 +523,17 @@ def parse_metadata(df: DataFrame, payload_col: str = "payload", out: str = "meta
                     rows.append(("image", w, h, c, None, None, None, len(b)))
                 except JpegFormatError:
                     rows.append(("unknown", None, None, None, None, None, None, len(b)))
+            elif b[:6] in GIF_MAGICS:
+                # real format (r6): structure walk only, LZW never runs;
+                # a single frame is an image, an animation is video
+                try:
+                    w, h, nf = parse_gif_header(b)
+                    if nf > 1:
+                        rows.append(("video", w, h, 3, None, None, nf, len(b)))
+                    else:
+                        rows.append(("image", w, h, 3, None, None, None, len(b)))
+                except GifFormatError:
+                    rows.append(("unknown", None, None, None, None, None, None, len(b)))
             elif b[:4] == _WAV_MAGIC and b[8:12] == b"WAVE":
                 try:
                     sr, ns, _ch = parse_wav_header(b)
@@ -380,15 +557,21 @@ def parse_metadata(df: DataFrame, payload_col: str = "payload", out: str = "meta
 
 
 def _is_image_payload(b: bytes) -> bool:
-    return b[:4] == _IMG_MAGIC or b[:8] == PNG_MAGIC or b[:2] == JPEG_MAGIC
+    return (
+        b[:4] == _IMG_MAGIC
+        or b[:8] == PNG_MAGIC
+        or b[:2] == JPEG_MAGIC
+        or b[:6] in GIF_MAGICS
+    )
 
 
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Decode to an HxWxC uint8 array. REAL for PNG (r5) and baseline
-    JPEG (r6) — both pure python/numpy codecs (``operators/codecs.py``,
-    ``operators/jpeg.py``) — plus the engine's own FIMG fixture format;
-    remaining web formats (GIF/WebP/AVIF) stay stubbed behind PIL
-    (absent in this container)."""
+    """Decode to an HxWxC uint8 array. REAL for PNG (r5), baseline +
+    progressive JPEG (r6) and GIF (r6, first frame composited onto the
+    logical screen) — all pure python/numpy codecs
+    (``operators/codecs.py``, ``operators/jpeg.py``) — plus the
+    engine's own FIMG fixture format; WebP/AVIF stay stubbed behind
+    PIL (absent in this container)."""
     if payload[:4] == _IMG_MAGIC:
         w, h, c = struct.unpack("<HHB", payload[4:9])
         body = np.frombuffer(payload[9 : 9 + w * h * c], dtype=np.uint8)
@@ -399,6 +582,8 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return decode_png(payload)
     if payload[:2] == JPEG_MAGIC:
         return decode_jpeg(payload)
+    if payload[:6] in GIF_MAGICS:
+        return decode_gif(payload)
     try:  # pragma: no cover - container has no PIL
         import io
 
@@ -407,7 +592,7 @@ def _decode_image(payload: bytes) -> np.ndarray:
         return np.asarray(Image.open(io.BytesIO(payload)))
     except ImportError:
         raise NotImplementedError(
-            "GIF/WebP/AVIF need PIL (absent here); PNG, baseline JPEG and "
+            "WebP/AVIF need PIL (absent here); PNG, JPEG, GIF and "
             "the FIMG fixture format decode for real"
         ) from None
 
@@ -429,7 +614,7 @@ def _decode_images(payloads: list[bytes]) -> list:
         else:
             try:
                 results[i] = _decode_image(b)
-            except (PngFormatError, JpegFormatError):
+            except (PngFormatError, JpegFormatError, GifFormatError):
                 results[i] = None
     if pngs:
         try:
@@ -477,7 +662,8 @@ def extract_image_features(df: DataFrame, payload_col: str = "payload", out: str
 def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "payload", out: str = "resized") -> DataFrame:
     """Nearest-neighbor resize. Output format mirrors the input: PNG in
     → PNG out (re-encoded with the pure codec, r5); FIMG in → FIMG out.
-    JPEG in → JPEG out (r6, re-encoded at quality 85 / 4:4:4)."""
+    JPEG in → JPEG out (r6, re-encoded at quality 85 / 4:4:4); GIF in
+    → GIF out (r6, first frame re-paletted losslessly)."""
     from .codecs import encode_png
 
     fields = list(df.schema.fields) + [StructField(out, BinaryType(), True)]
@@ -493,7 +679,7 @@ def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "pa
                     continue
                 try:
                     px = _decode_image(b)
-                except (PngFormatError, JpegFormatError):
+                except (PngFormatError, JpegFormatError, GifFormatError):
                     vals.append(None)
                     continue
                 ys = (np.arange(height) * px.shape[0] // height).clip(0, px.shape[0] - 1)
@@ -503,6 +689,10 @@ def resize_images(df: DataFrame, width: int, height: int, payload_col: str = "pa
                     vals.append(encode_png(rs))
                 elif b[:2] == JPEG_MAGIC:
                     vals.append(encode_jpeg(rs))  # JPEG in -> JPEG out
+                elif b[:6] in GIF_MAGICS:
+                    # a nearest-neighbor subset of a paletted image still
+                    # fits the palette — GIF in -> GIF out is safe
+                    vals.append(encode_gif(rs))
                 else:
                     vals.append(_IMG_MAGIC + struct.pack("<HHB", width, height, px.shape[2]) + rs.tobytes())
             pdf = pdf.copy()
@@ -554,7 +744,7 @@ def multimodal_features_parquet(
                 if _is_image_payload(b):
                     try:
                         px = _decode_image(b).astype(np.float64)
-                    except (PngFormatError, JpegFormatError):
+                    except (PngFormatError, JpegFormatError, GifFormatError):
                         kinds.append("unknown")
                         imf.append(None)
                         auf.append(None)
@@ -600,9 +790,10 @@ def sample_video_frames(
     """Every-Nth-frame sampling → per-sampled-frame mean-pixel features
     (list of doubles). The batch contract — decode in the worker, fixed
     small features out, never raw frames over the wire — is the
-    production shape. Decodes FVID fixture payloads and REAL
-    uncompressed AVI (r5, ``codecs.decode_avi``); entropy-coded video
-    codecs (H.26x/VP9…) remain stubbed."""
+    production shape. Decodes FVID fixture payloads, REAL uncompressed
+    AVI (r5) AND Motion-JPEG AVI + animated GIF (r6 — entropy-coded
+    video via the JPEG codec; GIF frames fully composited); inter-frame
+    -predicted codecs (H.26x/VP9…) remain stubbed."""
     fields = list(df.schema.fields) + [StructField(out, ArrayType(DoubleType()), True)]
     schema = StructType(fields)
 
@@ -626,6 +817,13 @@ def sample_video_frames(
                         continue
                     # explicit dims: reshape(nf, -1) raises on a
                     # zero-frame AVI (size-0 array, ADVICE r5)
+                    frames = fr.reshape(fr.shape[0], fr.shape[1] * fr.shape[2] * fr.shape[3])
+                elif b[:6] in GIF_MAGICS:
+                    try:
+                        fr, _fps = decode_gif_frames(b)
+                    except GifFormatError:
+                        vals.append(None)
+                        continue
                     frames = fr.reshape(fr.shape[0], fr.shape[1] * fr.shape[2] * fr.shape[3])
                 else:
                     vals.append(None)

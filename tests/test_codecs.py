@@ -227,7 +227,7 @@ def test_avi_round_trip_and_header():
     good = bytearray(encode_avi(np.zeros((1, 4, 4, 3), np.uint8)))
     strf_at = bytes(good).index(b"strf") + 8
     struct.pack_into("<I", good, strf_at + 16, 0x44495658)  # 'XVID'
-    with pytest.raises(AviFormatError, match="uncompressed"):
+    with pytest.raises(AviFormatError, match="DIB or MJPG"):
         decode_avi(bytes(good))
 
 
@@ -550,3 +550,305 @@ def test_decode_png_batch_groups_and_isolates():
     assert np.array_equal(res[0], truths[0])
     assert res[1] is None
     assert np.array_equal(res[2], truths[1])
+
+
+# ---------------------------------------------------------------------------
+# GIF (r6)
+# ---------------------------------------------------------------------------
+
+
+def _rand_paletted(rng, h, w, npal, nframes=None):
+    pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+    if nframes is None:
+        return pal[rng.integers(0, npal, (h, w))]
+    return pal[rng.integers(0, npal, (nframes, h, w))]
+
+
+def test_gif_round_trip_palette_sizes_and_interlace():
+    from hlld_spark.operators.codecs import decode_gif, encode_gif, parse_gif_header
+
+    rng = np.random.default_rng(11)
+    for npal in (2, 3, 16, 17, 128, 256):
+        for interlace in (False, True):
+            img = _rand_paletted(rng, 23, 31, npal)
+            b = encode_gif(img, interlace=interlace)
+            assert parse_gif_header(b) == (31, 23, 1)
+            assert np.array_equal(decode_gif(b), img)
+
+
+def test_gif_animation_round_trip_and_fps():
+    from hlld_spark.operators.codecs import (
+        decode_gif,
+        decode_gif_frames,
+        encode_gif,
+        parse_gif_header,
+    )
+
+    rng = np.random.default_rng(12)
+    anim = _rand_paletted(rng, 14, 9, 40, nframes=5)
+    b = encode_gif(anim, fps=25.0)
+    assert parse_gif_header(b) == (9, 14, 5)
+    frames, fps = decode_gif_frames(b)
+    assert np.array_equal(frames, anim)
+    assert fps == 25.0
+    # the image view of an animation is its FIRST frame
+    assert np.array_equal(decode_gif(b), anim[0])
+
+
+def test_gif_lzw_table_reset_at_4096():
+    """An image large and noisy enough to exhaust the 12-bit code space
+    forces the encoder's CLEAR + table rebuild; decode must follow."""
+    from hlld_spark.operators.codecs import decode_gif, encode_gif
+
+    rng = np.random.default_rng(13)
+    img = _rand_paletted(rng, 240, 350, 250)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_gif_subrect_transparency_composites_onto_canvas():
+    """Hand-assembled two-frame GIF: frame 1 paints a 2x3 sub-rect at
+    (2, 1) with one transparent pixel — the canvas must keep the old
+    value there and composite the rest."""
+    from hlld_spark.operators.codecs import _lzw_encode, decode_gif_frames
+
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255], [9, 9, 9]], dtype=np.uint8)
+    idx0 = np.zeros((4, 5), dtype=np.uint8)  # all red
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 5, 4) + bytes([0x82, 0, 0])
+    table = np.zeros((8, 3), dtype=np.uint8)
+    table[:4] = pal
+    out += table.tobytes()
+
+    def frame(grid, x0, y0, transparent):
+        gflags = 1 if transparent is not None else 0
+        buf = b"\x21\xf9\x04" + bytes([gflags]) + struct.pack("<H", 10)
+        buf += bytes([transparent or 0, 0])
+        buf += b"\x2c" + struct.pack("<4H", x0, y0, grid.shape[1], grid.shape[0]) + b"\x00\x03"
+        stream = _lzw_encode(grid.reshape(-1), 3)
+        for off in range(0, len(stream), 255):
+            blk = stream[off : off + 255]
+            buf += bytes([len(blk)]) + blk
+        return buf + b"\x00"
+
+    sub = np.array([[1, 7, 1], [2, 2, 7]], dtype=np.uint8)  # 7 = transparent
+    out += frame(idx0, 0, 0, None) + frame(sub, 2, 1, 7) + b"\x3b"
+    frames, fps = decode_gif_frames(bytes(out))
+    assert fps == 10.0
+    truth1 = pal[idx0].copy()
+    truth1[1, 2] = pal[1]
+    truth1[1, 4] = pal[1]  # (row 1): [red, red, green, RED(kept), green]... see below
+    # compose explicitly: rows 1-2, cols 2-4; transparent where sub == 7
+    truth = pal[idx0].copy()
+    for dy in range(2):
+        for dx in range(3):
+            v = sub[dy, dx]
+            if v != 7:
+                truth[1 + dy, 2 + dx] = pal[v]
+    assert np.array_equal(frames[0], pal[idx0])
+    assert np.array_equal(frames[1], truth)
+
+
+def test_gif_disposal_restore_background_and_previous():
+    """Disposal 2 clears the frame rect to the background color before
+    the next frame; disposal 3 restores the pre-frame canvas."""
+    from hlld_spark.operators.codecs import _lzw_encode, decode_gif_frames
+
+    pal = np.array([[10, 10, 10], [200, 0, 0], [0, 200, 0], [0, 0, 200]], dtype=np.uint8)
+    out = bytearray(b"GIF89a") + struct.pack("<HH", 3, 3) + bytes([0x82, 0, 0])
+    table = np.zeros((8, 3), dtype=np.uint8)
+    table[:4] = pal
+    out += table.tobytes()
+
+    def frame(grid, x0, y0, disposal):
+        buf = b"\x21\xf9\x04" + bytes([disposal << 2]) + struct.pack("<H", 5) + b"\x00\x00"
+        buf += b"\x2c" + struct.pack("<4H", x0, y0, grid.shape[1], grid.shape[0]) + b"\x00\x03"
+        stream = _lzw_encode(grid.reshape(-1), 3)
+        for off in range(0, len(stream), 255):
+            blk = stream[off : off + 255]
+            buf += bytes([len(blk)]) + blk
+        return buf + b"\x00"
+
+    base = np.full((3, 3), 1, dtype=np.uint8)  # all red
+    dot2 = np.full((1, 1), 2, dtype=np.uint8)  # green dot, disposal 2
+    dot3 = np.full((1, 1), 3, dtype=np.uint8)  # blue dot, disposal 3
+    out += frame(base, 0, 0, 0)
+    out += frame(dot2, 1, 1, 2)  # after this frame: rect -> background
+    out += frame(dot3, 0, 0, 3)  # after this frame: restore previous
+    out += frame(np.full((1, 1), 2, dtype=np.uint8), 2, 2, 0) + b"\x3b"
+    frames, _ = decode_gif_frames(bytes(out))
+    assert np.array_equal(frames[0], pal[base])
+    f1 = pal[base].copy()
+    f1[1, 1] = pal[2]
+    assert np.array_equal(frames[1], f1)
+    # frame 2 renders on a canvas whose (1,1) was restored to BACKGROUND
+    f2 = pal[base].copy()
+    f2[1, 1] = pal[0]
+    f2[0, 0] = pal[3]
+    assert np.array_equal(frames[2], f2)
+    # frame 3 renders on the canvas RESTORED to pre-frame-2 state
+    f3 = pal[base].copy()
+    f3[1, 1] = pal[0]
+    f3[2, 2] = pal[2]
+    assert np.array_equal(frames[3], f3)
+
+
+def test_gif_rejections():
+    from hlld_spark.operators.codecs import (
+        GifFormatError,
+        decode_gif,
+        encode_gif,
+        parse_gif_header,
+    )
+
+    rng = np.random.default_rng(14)
+    with pytest.raises(GifFormatError):
+        parse_gif_header(b"NOTAGIF" + b"\x00" * 20)
+    with pytest.raises(GifFormatError):
+        decode_gif(b"GIF89a" + b"\x00" * 4)  # truncated LSD
+    # >256 unique colors: honest encoder error, no silent quantization
+    big = rng.integers(0, 256, (20, 20, 3), dtype=np.uint8)  # ~400 colors
+    with pytest.raises(GifFormatError):
+        encode_gif(big)
+    # truncated stream: cut a valid GIF in half
+    ok = encode_gif(np.zeros((8, 8, 3), dtype=np.uint8))
+    with pytest.raises(GifFormatError):
+        decode_gif(ok[: len(ok) // 2])
+    # trailing-garbage introducer: decode_gif stops at the first frame
+    # BY DESIGN, but the full-animation walk must reject it
+    from hlld_spark.operators.codecs import decode_gif_frames
+
+    assert decode_gif(ok[:-1] + b"\x7f\x3b").shape == (8, 8, 3)
+    with pytest.raises(GifFormatError):
+        decode_gif_frames(ok[:-1] + b"\x7f\x3b")
+
+
+def test_gif_lzw_reference_decode():
+    """Pin _lzw_decode against a tiny hand-worked stream: the canonical
+    GIF89a spec example uses mcs=2; verify with an independent pure-
+    python re-implementation over random index streams."""
+    from hlld_spark.operators.codecs import _lzw_decode, _lzw_encode
+
+    def ref_decode(data, mcs, n):
+        # independent spec-literal decoder (bit cursor kept as an index)
+        clear, eoi = 1 << mcs, (1 << mcs) + 1
+        bits = "".join(f"{b:08b}"[::-1] for b in data)
+        pos = 0
+        width = mcs + 1
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        out, prev = bytearray(), None
+        while len(out) < n:
+            code = int(bits[pos : pos + width][::-1], 2)
+            pos += width
+            if code == clear:
+                table = [bytes([i]) for i in range(clear)] + [b"", b""]
+                width, prev = mcs + 1, None
+                continue
+            if code == eoi:
+                break
+            if prev is None:
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+            else:
+                entry = prev + prev[:1]
+                if len(table) < 4096:
+                    table.append(entry)
+            out += entry
+            prev = entry
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        return bytes(out[:n])
+
+    rng = np.random.default_rng(15)
+    for mcs, n in ((2, 40), (4, 500), (8, 20000)):
+        idx = rng.integers(0, 1 << mcs, n).astype(np.uint8)
+        stream = _lzw_encode(idx, mcs)
+        got = _lzw_decode(stream, mcs, n)
+        assert bytes(got.tobytes()) == ref_decode(stream, mcs, n) == idx.tobytes()
+
+
+# ---------------------------------------------------------------------------
+# Motion-JPEG AVI (r6)
+# ---------------------------------------------------------------------------
+
+
+def test_mjpeg_avi_round_trip_pixel_exact_vs_encoder_truth():
+    from hlld_spark.operators.codecs import decode_avi, encode_avi, parse_avi_header
+    from hlld_spark.operators.jpeg import dequant_idct_reference, quantized_planes
+
+    rng = np.random.default_rng(16)
+    frames = rng.integers(0, 256, (3, 19, 26, 3), dtype=np.uint8)
+    for q, ss in ((75, "4:2:0"), (92, "4:4:4")):
+        b = encode_avi(frames, fps=24.0, codec="mjpg", quality=q, subsampling=ss)
+        w, h, nf, fps = parse_avi_header(b)
+        assert (w, h, nf) == (26, 19, 3) and abs(fps - 24.0) < 0.01
+        out, _ = decode_avi(b)
+        assert out.shape == (3, 19, 26, 3)
+        for k in range(3):
+            coefs, qs, samp = quantized_planes(frames[k], q, ss)
+            truth = dequant_idct_reference(coefs, qs, samp, 26, 19, False)
+            assert np.array_equal(out[k], truth)
+
+
+def test_mjpeg_avi_bad_frame_raises_avi_error():
+    from hlld_spark.operators.codecs import AviFormatError, decode_avi, encode_avi
+
+    rng = np.random.default_rng(17)
+    frames = rng.integers(0, 256, (2, 16, 16, 3), dtype=np.uint8)
+    b = bytearray(encode_avi(frames, codec="mjpg"))
+    # corrupt the first JPEG's SOI inside the movi list
+    soi = b.find(b"\xff\xd8\xff", 100)
+    assert soi > 0
+    b[soi] = 0x00
+    with pytest.raises(AviFormatError):
+        decode_avi(bytes(b))
+
+
+def test_gif_and_mjpeg_through_spark_operators(spark):
+    """End-to-end through parse_metadata / extract_image_features /
+    sample_video_frames / resize_images with the anim fixture
+    generator, plus corrupt payloads mapping to NULL rows."""
+    from pyspark.sql import functions as F
+
+    from hlld_spark.operators.multimodal import (
+        _gen_anim_asset,
+        extract_image_features,
+        parse_metadata,
+        resize_images,
+        sample_video_frames,
+    )
+
+    rows = [_gen_anim_asset(i, 7) for i in range(12)]
+    rows.append(
+        {"asset_id": 99, "kind": "junk", "payload": b"GIF89a\x03\x00",
+         "width": None, "height": None, "n_frames": None, "chan0_mean": None,
+         "frame0_mean": None, "last_frame_mean": None, "resized_mean": None}
+    )
+    df = spark.createDataFrame(
+        [(r["asset_id"], bytearray(r["payload"])) for r in rows],
+        "asset_id long, payload binary",
+    )
+    out = sample_video_frames(extract_image_features(parse_metadata(df)), every_n=1)
+    out = extract_image_features(resize_images(out, 4, 4), payload_col="resized", out="rf")
+    got = {
+        r["asset_id"]: r
+        for r in out.select(
+            "asset_id",
+            F.col("meta.kind").alias("kind"),
+            F.col("features")[0].alias("c0"),
+            F.col("frame_features")[0].alias("f0"),
+            F.element_at(F.col("frame_features"), -1).alias("fl"),
+            F.col("rf")[0].alias("rm"),
+        ).collect()
+    }
+    for r in rows[:-1]:
+        g = got[r["asset_id"]]
+        assert g["c0"] == r["chan0_mean"]
+        assert g["f0"] == r["frame0_mean"]
+        assert g["fl"] == r["last_frame_mean"]
+        assert g["rm"] == r["resized_mean"]
+        assert g["kind"] == r["kind"]
+    junk = got[99]
+    assert junk["kind"] == "unknown"
+    assert junk["c0"] is None and junk["f0"] is None and junk["rm"] is None
