@@ -934,6 +934,7 @@ def _quality_oracle_sql() -> str:
 
 
 _MEGATRON_DS_DIR = "/tmp/hlld_spark_fixtures/megatron_ds"
+_WEBDATASET_DIR = "/tmp/hlld_spark_fixtures/webdataset"
 
 
 def _q_indexed_dataset_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -977,6 +978,37 @@ def _indexed_dataset_oracle_sql() -> str:
                max(doc_id)::BIGINT AS max_doc_id
         FROM l GROUP BY 1 ORDER BY 1
     """
+
+
+def _q_webdataset_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebDataset sink/source gate (r6): write `documents` as tar
+    shards (one .txt + one .cls member per sample, key = doc_id,
+    deterministic `doc_id % 8` membership, zeroed tar metadata so the
+    bytes are run-independent), then READ THE TARS BACK with the
+    distributed reader and aggregate per shard. The oracle recomputes
+    sample/file counts, exact utf-8 content bytes and key ranges from
+    the raw table — so the gate proves the round trip (a lost member,
+    a mis-sharded key, or a truncated tar all hash-mismatch), not just
+    the writer's intent."""
+    _ensure_shipped(spark)
+    from hlld_spark.sources.webdataset import read_webdataset, write_webdataset
+
+    docs = _load(spark, sf_dir, "documents")
+    write_webdataset(
+        docs, _WEBDATASET_DIR, {"txt": "text", "cls": "lang"}, key_col="doc_id", n_shards=8
+    )
+    wd = read_webdataset(spark, _WEBDATASET_DIR)
+    return (
+        wd.groupBy("shard_id")
+        .agg(
+            F.countDistinct("key").alias("n_samples"),
+            F.count("*").alias("n_files"),
+            F.sum(F.length("content")).alias("content_bytes"),
+            F.min(F.col("key").cast("long")).alias("min_key"),
+            F.max(F.col("key").cast("long")).alias("max_key"),
+        )
+        .orderBy("shard_id")
+    )
 
 
 def _q_mixed_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1926,6 +1958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_selected_docs": _q_dsir_selected,
         "quality_scores": _q_quality_scores,
         "indexed_dataset_manifest": _q_indexed_dataset_manifest,
+        "webdataset_shards": _q_webdataset_shards,
         "html_unescaped_docs": _q_html_unescaped,
         "line_filtered_docs": _q_line_filtered,
         "line_dedup_docs": _q_line_dedup,
@@ -2345,6 +2378,16 @@ def oracle_sql() -> dict[str, str]:
         "dsir_selected_docs": _dsir_oracle_sql(),
         "quality_scores": _quality_oracle_sql(),
         "indexed_dataset_manifest": _indexed_dataset_oracle_sql(),
+        "webdataset_shards": """
+            SELECT (doc_id % 8)::INT AS shard_id,
+                   count(*)::BIGINT AS n_samples,
+                   (2 * count(*))::BIGINT AS n_files,
+                   sum(octet_length(encode(text)) + octet_length(encode(lang)))::BIGINT
+                       AS content_bytes,
+                   min(doc_id)::BIGINT AS min_key,
+                   max(doc_id)::BIGINT AS max_key
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
         "html_unescaped_docs": f"""
             SELECT doc_id, clean_text AS text
             FROM read_parquet('{_ENTITIES_FIXTURE}')
