@@ -191,6 +191,43 @@ print(f"   BPE: {len(bpe_model['merges'])} merges; first doc -> {len(enc)} token
 kept = stratified_sample(web.limit(50000), "url", "lang", {"en": 0.1}, seed=1)
 print("   stratified en=0.1 keeps", kept.count(), "of 50000 rows (other langs whole)")
 
+print("== 8h. r6 fourth wave: DSIR selection, quality model, line filter, WebDataset")
+from hlld_spark.operators.dsir import (
+    dsir_resample, dsir_logratio_table, hashed_ngram_counts, with_importance_weights,
+)
+from hlld_spark.operators.quality import (
+    score_quality, split_model_df, train_quality_classifier, weights_to_df,
+)
+from hlld_spark.operators.text import filter_quality_lines
+from hlld_spark.sources.webdataset import read_webdataset, write_webdataset
+
+# unique ids: the corpus has refetched urls (dsir's contract is one row per id)
+raw = web.limit(20000).withColumn("doc_id", F.xxhash64("url")).dropDuplicates(["doc_id"])
+target = raw.filter(F.col("lang") == "en")  # "select docs that look English"
+lr_table = dsir_logratio_table(hashed_ngram_counts(target), hashed_ngram_counts(raw))
+w = with_importance_weights(raw, lr_table)
+picked = dsir_resample(raw, w, k=500)
+print("   DSIR picked", picked.count(), "of 20000;",
+      picked.filter(F.col("lang") == "en").count(), "are en (target dist)")
+labeled = raw.limit(400).withColumn("label", (F.col("lang") == "en").cast("int"))
+wts, bias = train_quality_classifier(labeled, iters=8)
+model = weights_to_df(spark, wts, bias)
+wdf, b = split_model_df(model)
+scored = score_quality(raw.limit(100), model, id_col="doc_id")
+print(f"   quality model: {len(wts)} bucket weights, bias {bias:.3f}; "
+      f"mean score over 100 docs {scored.agg(F.avg('quality_score')).first()[0]:.3f}")
+lines = spark.createDataFrame(
+    [(1, "A real sentence that survives the filter.\nHOME | ABOUT | CONTACT\n42 likes")],
+    "doc_id long, text string",
+)
+print("   line-filtered:", repr(filter_quality_lines(lines).first()["text"]))
+wd_dir = os.path.join(work, "wd")
+write_webdataset(raw.limit(100), wd_dir, {"txt": "text", "cls": "lang"},
+                 key_col="doc_id", n_shards=2)
+back = read_webdataset(spark, wd_dir)
+print("   WebDataset round trip:", back.count(), "tar members in",
+      back.select("shard_id").distinct().count(), "shards")
+
 print("== 9. named sets: registry + wire protocol")
 reg = SketchRegistry(os.path.join(work, "sets"))
 reg.create("demo_urls", precision=14)
