@@ -784,6 +784,105 @@ def _q_line_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher quality-rule gate (Rae et al. 2021 §A.1.1 — the filter
+    Dolma/RefinedWeb/FineWeb inherit): all 8 integer signals + the 7
+    per-rule flags + the combined pass over `documents`. Every rule is
+    INTEGER arithmetic (mean word length as 3·n ≤ chars ≤ 10·n etc.),
+    so DuckDB replays each comparison exactly. The synthetic corpus
+    carries at most one stopword per doc, so every third doc gets a
+    deterministic stopword tail appended ON BOTH SIDES — making the
+    combined pass flag genuinely vary (~110 of 500 pass at sf0.01)."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.text import with_gopher_signals
+
+    docs = _load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit(" that would have come with it")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    sig = with_gopher_signals(docs)
+    rule_cols = [
+        "r_word_count",
+        "r_mean_word_len",
+        "r_symbol_ratio",
+        "r_bullet_lines",
+        "r_ellipsis_lines",
+        "r_alpha_words",
+        "r_stopwords",
+        "gopher_pass",
+    ]
+    return sig.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in sig.columns if c.startswith("gopher_") and c != "gopher_pass"],
+        *[F.col(c).cast("int").alias(c) for c in rule_cols],
+    ).orderBy("doc_id")
+
+
+def _gopher_oracle_sql() -> str:
+    stop_terms = " + ".join(
+        f"list_contains(list_transform(gw, w -> lower(w)), '{s}')::INT"
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    return rf"""
+        WITH docs AS (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0
+                      THEN text || ' that would have come with it'
+                      ELSE text END AS text
+          FROM documents
+        ), sig AS (
+          SELECT doc_id,
+            list_filter(string_split_regex(trim(text), '\s+'),
+                        w -> length(w) > 0) AS gw,
+            string_split(text, chr(10)) AS gl,
+            (length(text) - length(replace(text, '#', '')))
+              + (length(text) - length(replace(text, '...', ''))) // 3
+              + (length(text) - length(replace(text, '…', ''))) AS symbols
+          FROM docs
+        ), agg AS (
+          SELECT doc_id,
+            len(gw)::BIGINT AS gopher_n_words,
+            coalesce(list_sum(list_transform(gw, w -> length(w))), 0)::BIGINT
+                AS gopher_word_chars,
+            symbols::BIGINT AS gopher_symbols,
+            len(gl)::BIGINT AS gopher_n_lines,
+            len(list_filter(gl, l -> regexp_matches(l, '^\s*([•‣▪*]|- )')))::BIGINT
+                AS gopher_bullet_lines,
+            len(list_filter(gl, l -> regexp_matches(l, '(\.\.\.|…)\s*$')))::BIGINT
+                AS gopher_ellipsis_lines,
+            len(list_filter(gw, w -> regexp_matches(w, '[A-Za-z]')))::BIGINT
+                AS gopher_alpha_words,
+            ({stop_terms})::BIGINT AS gopher_stop_hits
+          FROM sig
+        )
+        SELECT doc_id, gopher_n_words, gopher_word_chars, gopher_symbols,
+          gopher_n_lines, gopher_bullet_lines, gopher_ellipsis_lines,
+          gopher_alpha_words, gopher_stop_hits,
+          (gopher_n_words BETWEEN 50 AND 100000)::INT AS r_word_count,
+          (gopher_word_chars >= 3*gopher_n_words
+             AND gopher_word_chars <= 10*gopher_n_words)::INT AS r_mean_word_len,
+          (10*gopher_symbols <= gopher_n_words)::INT AS r_symbol_ratio,
+          (10*gopher_bullet_lines <= 9*gopher_n_lines)::INT AS r_bullet_lines,
+          (10*gopher_ellipsis_lines <= 3*gopher_n_lines)::INT AS r_ellipsis_lines,
+          (5*gopher_alpha_words >= 4*gopher_n_words)::INT AS r_alpha_words,
+          (gopher_stop_hits >= 2)::INT AS r_stopwords,
+          ((gopher_n_words BETWEEN 50 AND 100000)
+            AND gopher_word_chars >= 3*gopher_n_words
+            AND gopher_word_chars <= 10*gopher_n_words
+            AND 10*gopher_symbols <= gopher_n_words
+            AND 10*gopher_bullet_lines <= 9*gopher_n_lines
+            AND 10*gopher_ellipsis_lines <= 3*gopher_n_lines
+            AND 5*gopher_alpha_words >= 4*gopher_n_words
+            AND gopher_stop_hits >= 2)::INT AS gopher_pass
+        FROM agg ORDER BY doc_id
+    """
+
+
 def _q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling gate (Xie et al. 2023): target
     corpus = the English slice of `documents`, raw corpus = all of
@@ -1961,6 +2060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webdataset_shards": _q_webdataset_shards,
         "html_unescaped_docs": _q_html_unescaped,
         "line_filtered_docs": _q_line_filtered,
+        "gopher_quality_flags": _q_gopher_quality,
         "line_dedup_docs": _q_line_dedup,
         "nfc_normalized_docs": _q_nfc_normalized,
         "stratified_sample_docs": _q_stratified_sample,
@@ -2393,6 +2493,7 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_ENTITIES_FIXTURE}')
             ORDER BY doc_id
         """,
+        "gopher_quality_flags": _gopher_oracle_sql(),
         "line_filtered_docs": rf"""
             WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
                        FROM read_parquet('{_WEBLINES_FIXTURE}')),

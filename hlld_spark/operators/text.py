@@ -374,6 +374,111 @@ def filter_quality_lines(
     return out
 
 
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021, arXiv:2112.11446 §A.1.1)
+# ---------------------------------------------------------------------------
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def with_gopher_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> DataFrame:
+    """The full Gopher document-quality rule set (Rae et al. 2021
+    §A.1.1 — the filter Dolma/RefinedWeb/FineWeb all inherit), pure
+    Catalyst. Adds integer signal columns plus one boolean per rule:
+
+    * ``gopher_n_words`` / ``r_word_count`` — whitespace words in
+      [min_words, max_words] (paper: [50, 100k]);
+    * ``gopher_word_chars`` / ``r_mean_word_len`` — mean word length
+      in [3, 10], tested as ``3·n ≤ chars ≤ 10·n`` (INTEGER arithmetic
+      — no float division, so any engine replays it exactly);
+    * ``gopher_symbols`` / ``r_symbol_ratio`` — ``#`` + ``...`` + ``…``
+      occurrences, symbol-to-word ratio ≤ 0.1 as ``10·sym ≤ n``;
+    * ``gopher_bullet_lines`` / ``r_bullet_lines`` — ≤ 90 % of lines
+      start with a bullet (``10·b ≤ 9·lines``);
+    * ``gopher_ellipsis_lines`` / ``r_ellipsis_lines`` — ≤ 30 % of
+      lines end with an ellipsis (``10·e ≤ 3·lines``);
+    * ``gopher_alpha_words`` / ``r_alpha_words`` — ≥ 80 % of words
+      contain a letter (``5·a ≥ 4·n``);
+    * ``gopher_stop_hits`` / ``r_stopwords`` — ≥ 2 distinct hits from
+      the paper's 8-stopword set (exact lowercase token match);
+    * ``gopher_pass`` — AND of the seven.
+
+    Every signal is a plain integer over whitespace words / newline
+    lines, and every rule is an integer comparison — zero Python, zero
+    shuffle, all whole-stage-codegen. At 100 TB this is a map over the
+    scan, fused with whatever else reads the text column.
+    """
+    t = text_col
+    sig = {
+        # words: split on whitespace, drop empties (handles '' and ragged spaces)
+        "__gw": f"filter(split(trim({t}), '\\\\s+'), w -> length(w) > 0)",
+        "__gl": f"split({t}, '\\n', -1)",
+    }
+    out = df
+    for c, e in sig.items():
+        out = out.withColumn(c, F.expr(e))
+    hash_cnt = f"length({t}) - length(replace({t}, '#', ''))"
+    dots_cnt = f"(length({t}) - length(replace({t}, '...', ''))) div 3"
+    uell_cnt = f"length({t}) - length(replace({t}, '…', ''))"
+    stop_hits = " + ".join(
+        f"cast(array_contains(transform(__gw, w -> lower(w)), '{s}') as int)"
+        for s in GOPHER_STOPWORDS
+    )
+    out = (
+        out.withColumn("gopher_n_words", F.expr("size(__gw)"))
+        .withColumn(
+            "gopher_word_chars", F.expr("aggregate(__gw, 0, (a, w) -> a + length(w))")
+        )
+        .withColumn("gopher_symbols", F.expr(f"({hash_cnt}) + ({dots_cnt}) + ({uell_cnt})"))
+        .withColumn("gopher_n_lines", F.expr("size(__gl)"))
+        .withColumn(
+            "gopher_bullet_lines",
+            F.expr("size(filter(__gl, l -> l rlike '^\\\\s*([•‣▪*]|- )'))"),
+        )
+        .withColumn(
+            "gopher_ellipsis_lines",
+            F.expr("size(filter(__gl, l -> l rlike '(\\\\.\\\\.\\\\.|…)\\\\s*$'))"),
+        )
+        .withColumn(
+            "gopher_alpha_words",
+            F.expr("size(filter(__gw, w -> w rlike '[A-Za-z]'))"),
+        )
+        .withColumn("gopher_stop_hits", F.expr(stop_hits))
+        .drop("__gw", "__gl")
+    )
+    n = F.col("gopher_n_words")
+    rules = {
+        "r_word_count": (n >= min_words) & (n <= max_words),
+        "r_mean_word_len": (F.col("gopher_word_chars") >= 3 * n)
+        & (F.col("gopher_word_chars") <= 10 * n),
+        "r_symbol_ratio": 10 * F.col("gopher_symbols") <= n,
+        "r_bullet_lines": 10 * F.col("gopher_bullet_lines") <= 9 * F.col("gopher_n_lines"),
+        "r_ellipsis_lines": 10 * F.col("gopher_ellipsis_lines")
+        <= 3 * F.col("gopher_n_lines"),
+        "r_alpha_words": 5 * F.col("gopher_alpha_words") >= 4 * n,
+        "r_stopwords": F.col("gopher_stop_hits") >= 2,
+    }
+    gate = F.lit(True)
+    for name, cond in rules.items():
+        out = out.withColumn(name, cond)
+        gate = gate & cond
+    return out.withColumn("gopher_pass", gate)
+
+
+def gopher_filter(
+    df: DataFrame, text_col: str = "text", **kwargs
+) -> DataFrame:
+    """Rows that pass all seven Gopher rules (signal columns dropped)."""
+    sig = with_gopher_signals(df, text_col, **kwargs)
+    extra = [c for c in sig.columns if c not in df.columns]
+    return sig.filter(F.col("gopher_pass")).drop(*extra)
+
+
 def write_weblines_fixture(path: str, n: int, seed: int = 23) -> str:
     """Deterministic line-junk fixture (idempotent): docs interleave
     real sentences with the junk shapes the line filter targets (caps
