@@ -883,6 +883,108 @@ def _gopher_oracle_sql() -> str:
     """
 
 
+_C4_EXTRAS = [
+    "Extra sentence one ends here.",
+    "Extra sentence two follows along.",
+    "Extra sentence three keeps going.",
+    "Extra sentence four adds weight.",
+    "Extra sentence five nearly done.",
+    "Extra sentence six wraps it up.",
+]
+
+
+def _q_c4_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning-heuristics gate (Raffel et al. 2020 §2.2): line
+    retention (terminal punctuation + ≥3 words + no 'javascript') and
+    the three page rules (≥5 sentences in the retained text, no
+    'lorem ipsum', no '{'). The synthetic docs have no line structure,
+    so BOTH sides build the same deterministic page: the doc text
+    terminated with '.', a junk line, `doc_id % 7` constant extra
+    sentences, and a `doc_id % 5`-selected tail that exercises each
+    rule (lorem page-drop / javascript line-drop / brace page-drop /
+    kept closer / too-short line). Every comparison is an integer
+    count, and the retained TEXT itself is part of the hash — a
+    line-rule bug changes the rebuilt string, not just a flag.
+    DuckDB quirk handled: array_to_string([]) is NULL there, '' in
+    Spark, hence the coalesce on the oracle side."""
+    _ensure_shipped(spark)
+    from hlld_spark.operators.text import with_c4_signals
+
+    docs = _load(spark, sf_dir, "documents")
+    tail = (
+        F.when(F.col("doc_id") % 5 == 0, F.lit("Some lorem ipsum filler text here."))
+        .when(F.col("doc_id") % 5 == 1, F.lit("Enable javascript to read this article."))
+        .when(F.col("doc_id") % 5 == 2, F.lit("var x = { a: 1 };"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("A closing sentence wraps up this page."))
+        .otherwise(F.lit("Short fin."))
+    )
+    extras = F.array_join(
+        F.slice(
+            F.array(*[F.lit(s) for s in _C4_EXTRAS]),
+            F.lit(1),
+            (F.col("doc_id") % 7).cast("int"),
+        ),
+        "\n",
+    )
+    pages = docs.select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.concat(F.col("text"), F.lit(".")), F.lit("short junk"), extras, tail
+        ).alias("text"),
+    )
+    sig = with_c4_signals(pages)
+    return sig.select(
+        "doc_id",
+        "c4_text",
+        F.col("c4_n_sentences").cast("long").alias("c4_n_sentences"),
+        F.col("r_min_sentences").cast("int").alias("r_min_sentences"),
+        F.col("r_no_lorem").cast("int").alias("r_no_lorem"),
+        F.col("r_no_brace").cast("int").alias("r_no_brace"),
+        F.col("c4_keep").cast("int").alias("c4_keep"),
+    ).orderBy("doc_id")
+
+
+def _c4_oracle_sql() -> str:
+    extras = ", ".join(f"'{s}'" for s in _C4_EXTRAS)
+    return rf"""
+        WITH pages AS (
+          SELECT doc_id,
+            concat_ws(chr(10),
+              text || '.',
+              'short junk',
+              coalesce(array_to_string(
+                  list_slice([{extras}], 1, (doc_id % 7)::INT), chr(10)), ''),
+              CASE WHEN doc_id % 5 = 0 THEN 'Some lorem ipsum filler text here.'
+                   WHEN doc_id % 5 = 1 THEN 'Enable javascript to read this article.'
+                   WHEN doc_id % 5 = 2 THEN 'var x = {{ a: 1 }};'
+                   WHEN doc_id % 5 = 3 THEN 'A closing sentence wraps up this page.'
+                   ELSE 'Short fin.' END) AS text
+          FROM documents
+        ), sig AS (
+          SELECT doc_id, text,
+            coalesce(array_to_string(
+              list_filter(string_split(text, chr(10)), l ->
+                regexp_matches(trim(l), '[.!?"”]$')
+                AND len(list_filter(string_split_regex(trim(l), '\s+'),
+                                    w -> length(w) > 0)) >= 3
+                AND NOT regexp_matches(lower(l), 'javascript')
+              ), chr(10)), '') AS c4_text
+          FROM pages
+        )
+        SELECT doc_id, c4_text,
+          length(regexp_replace(c4_text, '[^.!?]', '', 'g'))::BIGINT
+              AS c4_n_sentences,
+          (length(regexp_replace(c4_text, '[^.!?]', '', 'g')) >= 5)::INT
+              AS r_min_sentences,
+          (NOT contains(lower(text), 'lorem ipsum'))::INT AS r_no_lorem,
+          (NOT contains(text, '{{'))::INT AS r_no_brace,
+          (length(regexp_replace(c4_text, '[^.!?]', '', 'g')) >= 5
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{'))::INT AS c4_keep
+        FROM sig ORDER BY doc_id
+    """
+
+
 def _q_dsir_selected(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance-resampling gate (Xie et al. 2023): target
     corpus = the English slice of `documents`, raw corpus = all of
@@ -2061,6 +2163,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_unescaped_docs": _q_html_unescaped,
         "line_filtered_docs": _q_line_filtered,
         "gopher_quality_flags": _q_gopher_quality,
+        "c4_quality_flags": _q_c4_quality,
         "line_dedup_docs": _q_line_dedup,
         "nfc_normalized_docs": _q_nfc_normalized,
         "stratified_sample_docs": _q_stratified_sample,
@@ -2494,6 +2597,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "gopher_quality_flags": _gopher_oracle_sql(),
+        "c4_quality_flags": _c4_oracle_sql(),
         "line_filtered_docs": rf"""
             WITH l AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls
                        FROM read_parquet('{_WEBLINES_FIXTURE}')),

@@ -479,6 +479,79 @@ def gopher_filter(
     return sig.filter(F.col("gopher_pass")).drop(*extra)
 
 
+# ---------------------------------------------------------------------------
+# C4 cleaning heuristics (Raffel et al. 2020, arXiv:1910.10683 §2.2)
+# ---------------------------------------------------------------------------
+
+
+def with_c4_signals(
+    df: DataFrame,
+    text_col: str = "text",
+    min_sentences: int = 5,
+    min_line_words: int = 3,
+    out_col: str = "c4_text",
+) -> DataFrame:
+    """The C4 line/page heuristics (Raffel et al. 2020 §2.2), pure
+    Catalyst. Line level — a line is RETAINED iff it
+
+    * ends in a terminal punctuation mark (``. ! ?`` or a closing
+      quote, the paper's rule),
+    * contains at least ``min_line_words`` whitespace words (paper: 3),
+    * does not contain the word ``javascript`` (case-insensitive).
+
+    ``out_col`` is the page rebuilt from retained lines. Page level:
+
+    * ``c4_n_sentences`` — terminal-punctuation marks in the RETAINED
+      text (documented deviation: the paper used a sentence tokenizer;
+      counting terminals is the standard engine-exact reimplementation)
+      with ``r_min_sentences`` = count ≥ ``min_sentences`` (paper: 5);
+    * ``r_no_lorem`` — no ``lorem ipsum`` (case-insensitive);
+    * ``r_no_brace`` — no ``{`` (code pages);
+    * ``c4_keep`` — AND of the three.
+
+    (The paper's bad-word list and three-sentence-span dedup live in
+    ``sampling.blocklist_filter`` and ``dedup.remove_duplicated_spans``.)
+    All comparisons are integer counts — any engine replays them
+    exactly; zero Python, zero shuffle, one codegen'd Project.
+    """
+    t = text_col
+    keep = (
+        f"l -> trim(l) rlike '[.!?\"”]$' "
+        f"AND size(filter(split(trim(l), '\\\\s+'), w -> length(w) > 0)) >= {int(min_line_words)} "
+        f"AND NOT lower(l) rlike 'javascript'"
+    )
+    out = (
+        df.withColumn(
+            out_col,
+            F.expr(f"array_join(filter(split({t}, '\\n', -1), {keep}), '\\n')"),
+        )
+        .withColumn(
+            "c4_n_sentences",
+            F.expr(f"length(regexp_replace({out_col}, '[^.!?]', ''))"),
+        )
+        .withColumn("r_min_sentences", F.col("c4_n_sentences") >= int(min_sentences))
+        .withColumn("r_no_lorem", ~F.lower(F.col(t)).contains("lorem ipsum"))
+        .withColumn("r_no_brace", ~F.col(t).contains("{"))
+    )
+    return out.withColumn(
+        "c4_keep",
+        F.col("r_min_sentences") & F.col("r_no_lorem") & F.col("r_no_brace"),
+    )
+
+
+def c4_filter(df: DataFrame, text_col: str = "text", **kwargs) -> DataFrame:
+    """Pages that survive the C4 heuristics, with ``text`` replaced by
+    the retained lines (the paper's semantics: line filtering mutates
+    the page, page rules then drop it whole)."""
+    sig = with_c4_signals(df, text_col, **kwargs)
+    extra = [c for c in sig.columns if c not in df.columns]
+    return (
+        sig.filter(F.col("c4_keep"))
+        .withColumn(text_col, F.col("c4_text"))
+        .drop(*extra)
+    )
+
+
 def write_weblines_fixture(path: str, n: int, seed: int = 23) -> str:
     """Deterministic line-junk fixture (idempotent): docs interleave
     real sentences with the junk shapes the line filter targets (caps
