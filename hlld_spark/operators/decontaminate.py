@@ -54,7 +54,14 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import LongType, StructField, StructType
 
-from .dedup import _char_shingle_hashes_with_lens, _splitmix, _token_shingle_hashes
+from .dedup import (
+    _ascii_text_buffer,
+    _char_shingle_hashes_ascii,
+    _char_shingle_hashes_with_lens,
+    _splitmix,
+    _token_shingle_hashes,
+    _token_shingle_hashes_ascii,
+)
 
 # second hash for the Bloom double-hashing scheme — any odd constant
 # xor + splitmix gives an independent-enough h2 from the gram hash
@@ -83,6 +90,22 @@ def _shingle(texts: pd.Series, n: int, unit: str):
     raise ValueError(f"unknown unit {unit!r} (expected 'token' or 'char')")
 
 
+def _shingle_arrow(col, n: int, unit: str):
+    """:func:`_shingle` for an Arrow string column: all-ASCII null-free
+    batches hash straight off the Arrow UTF-8 buffer (r7 — no pandas
+    conversion, no per-row encode; bit-identical results, see
+    dedup._token/_char_shingle_hashes_ascii); anything else falls back
+    to the exact pandas kernels."""
+    if unit in ("token", "char"):
+        fast = _ascii_text_buffer(col)
+        if fast is not None:
+            data, lens = fast
+            if unit == "char":
+                return _char_shingle_hashes_ascii(data, lens, n)
+            return _token_shingle_hashes_ascii(data, lens, n)
+    return _shingle(col.to_pandas(), n, unit)
+
+
 def _gram_hashes_df(df: DataFrame, text_col: str, n: int, unit: str) -> DataFrame:
     """Distinct n-gram hashes of a text column as a 1-column DataFrame
     (docs shorter than n units contribute nothing — no n-gram exists)."""
@@ -98,7 +121,14 @@ def _gram_hashes_df(df: DataFrame, text_col: str, n: int, unit: str) -> DataFram
             keep[offsets[:-1][units < n]] = False
             yield pd.DataFrame({"gram_hash": np.unique(h[keep]).astype(np.int64)})
 
-    return df.select(text_col).mapInPandas(extract, schema).distinct()
+    # r7: AQE-rebalance the (tiny, post-filter) eval projection before
+    # the Python stage — the gram extraction otherwise inherits the
+    # SCAN's task count (e.g. 32-64 tasks for ~2k surviving docs), and
+    # each Python task costs ~10-15 ms of serialized handshake
+    # (§OPTIMIZATION_r07.md). AQE sizes the rebalance by bytes
+    # (advisoryPartitionSizeInBytes), so corpus-sized eval tables still
+    # fan out. Row placement only; the distinct gram set is unchanged.
+    return df.select(text_col).hint("rebalance").mapInPandas(extract, schema).distinct()
 
 
 class EvalGramOverflow(ValueError):
@@ -199,11 +229,11 @@ def _make_member(method: str, blob: bytes):
     return member
 
 
-def _flag_batch(member, texts: pd.Series, n: int, unit: str = "char") -> np.ndarray:
-    """Per-doc matched-gram occurrence counts for one batch."""
-    h, offsets, units = _shingle(texts, n, unit)
-    if not len(h):
-        return np.zeros(len(texts), dtype=np.int64)
+def _flag_counts(member, h, offsets, units, n: int) -> np.ndarray:
+    """Per-doc matched-gram occurrence counts from a shingle-kernel
+    (hashes, offsets, units) triple."""
+    if not len(h) or not len(units):
+        return np.zeros(len(units), dtype=np.int64)
     hits = member(h)
     # zero out short docs' whole-doc sentinel hash (one slot each —
     # kernel contract; vectorized, VERDICT r3 #4)
@@ -212,6 +242,12 @@ def _flag_batch(member, texts: pd.Series, n: int, unit: str = "char") -> np.ndar
     # sentinel, masked above), so offsets are strictly increasing and
     # reduceat is well-defined per doc
     return np.add.reduceat(hits.astype(np.int64), offsets[:-1])
+
+
+def _flag_batch(member, texts: pd.Series, n: int, unit: str = "char") -> np.ndarray:
+    """Per-doc matched-gram occurrence counts for one batch."""
+    h, offsets, units = _shingle(texts, n, unit)
+    return _flag_counts(member, h, offsets, units, n)
 
 
 def _corpus_gram_occurrences(docs: DataFrame, id_col: str, text_col: str, n: int, unit: str) -> DataFrame:
@@ -378,17 +414,22 @@ def decontaminate_parquet(
     def fn(batches):
         member = _make_member(method, probe_state.value)
         for rb in batches:
-            pdf = rb.to_pandas()
-            per_doc = _flag_batch(member, pdf[text_col], n, unit)
-            flagged = per_doc > 0
-            if flagged.any():
-                out = pd.DataFrame(
-                    {
-                        id_col: pdf[id_col].values[flagged],
-                        "n_matched_grams": per_doc[flagged],
-                    }
+            # Arrow-native probe (r7): shingle straight off the Arrow
+            # string buffer (ASCII fast path, exact pandas fallback) and
+            # materialize ONLY the flagged rows' ids — unflagged rows
+            # never become Python objects at all
+            tcol = rb.column(rb.schema.get_field_index(text_col))
+            h, offsets, units = _shingle_arrow(tcol, n, unit)
+            per_doc = _flag_counts(member, h, offsets, units, n)
+            idx = np.flatnonzero(per_doc > 0)
+            if len(idx):
+                ids = rb.column(rb.schema.get_field_index(id_col)).take(
+                    pa.array(idx)
                 )
-                yield pa.RecordBatch.from_pandas(out, preserve_index=False)
+                yield pa.RecordBatch.from_arrays(
+                    [ids, pa.array(per_doc[idx], type=pa.int64())],
+                    names=[id_col, "n_matched_grams"],
+                )
 
     return map_parquet_batches(
         spark, path, fn, schema, [id_col, text_col], filter, batch_rows, files_per_task

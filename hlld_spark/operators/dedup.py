@@ -201,7 +201,10 @@ def _segment_poly_hashes(buf: np.ndarray, starts: np.ndarray, ends: np.ndarray) 
     if n == 0:
         return np.zeros(0, dtype=np.uint64)
     lens = (ends - starts).astype(np.int64)
-    order = np.argsort(-lens)
+    # kind="stable" selects numpy's O(n) radix sort for integer keys —
+    # measured ~2x the default introsort on token-length arrays; output
+    # is tie-order-independent (hashes scatter back via `order`)
+    order = np.argsort(-lens, kind="stable")
     slens = lens[order]
     sstarts = starts[order].astype(np.int64)
     h = np.zeros(n, dtype=np.uint64)
@@ -251,24 +254,32 @@ def _char_shingle_hashes(texts: pd.Series, k: int) -> tuple[np.ndarray, np.ndarr
     return h, offsets
 
 
-def _char_shingle_hashes_with_lens(
-    texts: pd.Series, k: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """:func:`_char_shingle_hashes` that also returns each doc's
-    CODE-POINT length (r5, VERDICT r4 nit: decontaminate's char unit
-    needed per-doc lengths and recomputed them with a per-row Python
-    map — the kernel's own encode pass already has them)."""
-    enc = [(t or "").encode("utf-32-le") for t in texts]
-    lens = np.fromiter((len(b) >> 2 for b in enc), dtype=np.int64, count=len(enc))
-    buf = np.frombuffer(b"".join(enc), dtype=np.uint32).astype(np.uint64)
+#: window-hash block size (positions per chunk). 2^17 × 8 B keeps the
+#: chunk's hash lane + its input slice inside per-core L2, so the k
+#: strided multiply-adds and the splitmix finalization re-touch cache-
+#: resident lines instead of streaming ~(2k+6)×8 bytes per position
+#: through DRAM. At 32 concurrent Python workers the unblocked kernel
+#: is memory-bandwidth-bound (measured §OPTIMIZATION_r07.md); blocking
+#: removes that wall. Byte-identical output by construction.
+_WINDOW_CHUNK = 1 << 17
+
+
+def _window_hashes_blocked(
+    buf: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared windowing core: length-k window poly hashes over the
+    concatenated per-doc stream ``buf`` (any unsigned dtype; converted
+    to uint64 lanes chunk-by-chunk), boundary-masked, splitmix-
+    finalized, compacted to valid positions, with ONE whole-doc
+    sentinel hash for docs shorter than k elements. Returns
+    (hashes, per-doc out offsets) — the exact contract (and bit-exact
+    values) of the pre-r7 unblocked kernels in char, token and u64-
+    stream modes; processing is chunked for cache locality (guide §2.3
+    "narrower types" + §1.2 per-task work)."""
     offsets = np.concatenate(([0], np.cumsum(lens)))
     total = int(offsets[-1])
     n_pos = max(total - k + 1, 0)
-    # poly hash at every buffer position (including invalid cross-doc ones)
-    h = np.zeros(n_pos, dtype=np.uint64)
-    for j in range(k):
-        np.multiply(h, _POLY_B, out=h)
-        np.add(h, buf[j : n_pos + j], out=h)
+    counts = np.maximum(lens - k + 1, 0)
     # mask positions whose k-gram crosses a doc boundary: per boundary
     # `end`, positions [end-k+1, end) are invalid — built directly as
     # docs×(k-1) indices (tiny) instead of a per-doc Python loop or an
@@ -279,61 +290,35 @@ def _char_shingle_hashes_with_lens(
         bad = (offsets[1:, None] - np.arange(1, k, dtype=np.int64)[None, :]).ravel()
         bad = bad[(bad >= 0) & (bad < n_pos)]
         valid[bad] = False
-    # re-validate each doc's own range start (the loop above also cleared
-    # the final doc's tail, which is correct)
-    counts = np.maximum(lens - k + 1, 0)
-    hc = _splitmix(h[valid]) if n_pos else np.zeros(0, dtype=np.uint64)
-    # docs shorter than k get one whole-doc shingle (poly hash of all
-    # code points) — gathered into a compact buffer and segment-hashed in
-    # one vectorized pass (byte-identical to the former scalar fold, and
-    # warning-free: array uint64 wraparound never emits the scalar-
-    # overflow RuntimeWarning the old per-code-point loop did)
+    hc = np.empty(int(counts.sum()), dtype=np.uint64)
+    ptr = 0
+    for s in range(0, n_pos, _WINDOW_CHUNK):
+        e = min(s + _WINDOW_CHUNK, n_pos)
+        w = buf[s : e + k - 1]
+        w64 = w if w.dtype == np.uint64 else w.astype(np.uint64)
+        h = np.zeros(e - s, dtype=np.uint64)
+        for j in range(k):
+            np.multiply(h, _POLY_B, out=h)
+            np.add(h, w64[j : j + (e - s)], out=h)
+        # splitmix64 finalization in place while the chunk is cache-hot
+        # (identical arithmetic to _splitmix)
+        np.add(h, _SMX_G, out=h)
+        np.bitwise_xor(h, h >> _U64(30), out=h)
+        np.multiply(h, _SMX_1, out=h)
+        np.bitwise_xor(h, h >> _U64(27), out=h)
+        np.multiply(h, _SMX_2, out=h)
+        np.bitwise_xor(h, h >> _U64(31), out=h)
+        hv = h[valid[s:e]]
+        hc[ptr : ptr + len(hv)] = hv
+        ptr += len(hv)
+    # docs shorter than k get one whole-doc sentinel (poly hash of all
+    # elements) — gathered into a compact buffer and segment-hashed in
+    # one vectorized pass, then spliced into the compacted stream: short
+    # docs own exactly one output slot (at out_off[d]), long docs'
+    # contiguous runs fill the remaining slots in doc order
     shorts = np.flatnonzero(lens < k)
     if len(shorts):
         sbuf, sbounds = _gather_segments(buf, offsets[shorts], lens[shorts])
-        short_hashes = _splitmix(_segment_poly_hashes(sbuf, sbounds[:-1], sbounds[1:]))
-        # splice the single-shingle docs into the compacted stream: short
-        # docs own exactly one output slot (at out_off[d]), long docs'
-        # contiguous runs fill the remaining slots in doc order
-        counts2 = counts.copy()
-        counts2[shorts] = 1
-        out_off = np.concatenate(([0], np.cumsum(counts2)))
-        out = np.empty(int(out_off[-1]), dtype=np.uint64)
-        long_slots = np.ones(len(out), dtype=bool)
-        long_slots[out_off[shorts]] = False
-        out[out_off[shorts]] = short_hashes
-        out[long_slots] = hc
-        return out, out_off, lens
-    offsets_out = np.concatenate(([0], np.cumsum(counts)))
-    return hc, offsets_out, lens
-
-
-def _u64_window_hashes(
-    stream: np.ndarray, offsets: np.ndarray, k: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """Length-k window poly hashes over an arbitrary uint64 stream with
-    per-doc ``offsets`` — the windowing half of ``_char_shingle_hashes``
-    generalized so TOKEN-hash streams shingle through the exact same
-    code path (strided multiply-adds, boundary masking, one-sentinel
-    short docs, splitmix finalization). Docs with fewer than k elements
-    emit ONE whole-doc sentinel hash; returns (hashes, out_offsets)."""
-    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
-    total = int(offsets[-1])
-    n_pos = max(total - k + 1, 0)
-    h = np.zeros(n_pos, dtype=np.uint64)
-    for j in range(k):
-        np.multiply(h, _POLY_B, out=h)
-        np.add(h, stream[j : n_pos + j], out=h)
-    valid = np.ones(n_pos, dtype=bool)
-    if n_pos:
-        bad = (offsets[1:, None] - np.arange(1, k, dtype=np.int64)[None, :]).ravel()
-        bad = bad[(bad >= 0) & (bad < n_pos)]
-        valid[bad] = False
-    counts = np.maximum(lens - k + 1, 0)
-    hc = _splitmix(h[valid]) if n_pos else np.zeros(0, dtype=np.uint64)
-    shorts = np.flatnonzero(lens < k)
-    if len(shorts):
-        sbuf, sbounds = _gather_segments(stream, offsets[shorts], lens[shorts])
         short_hashes = _splitmix(_segment_poly_hashes(sbuf, sbounds[:-1], sbounds[1:]))
         counts2 = counts.copy()
         counts2[shorts] = 1
@@ -345,6 +330,129 @@ def _u64_window_hashes(
         out[long_slots] = hc
         return out, out_off
     return hc, np.concatenate(([0], np.cumsum(counts)))
+
+
+def _char_shingle_hashes_with_lens(
+    texts: pd.Series, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """:func:`_char_shingle_hashes` that also returns each doc's
+    CODE-POINT length (r5, VERDICT r4 nit: decontaminate's char unit
+    needed per-doc lengths and recomputed them with a per-row Python
+    map — the kernel's own encode pass already has them)."""
+    enc = [(t or "").encode("utf-32-le") for t in texts]
+    lens = np.fromiter((len(b) >> 2 for b in enc), dtype=np.int64, count=len(enc))
+    # uint32 lanes straight from the encode; the blocked core upcasts
+    # chunk-by-chunk (half the DRAM traffic of a whole-buffer astype)
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint32)
+    h, out_off = _window_hashes_blocked(buf, lens, k)
+    return h, out_off, lens
+
+
+def _u64_window_hashes(
+    stream: np.ndarray, offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Length-k window poly hashes over an arbitrary uint64 stream with
+    per-doc ``offsets`` — the windowing half of ``_char_shingle_hashes``
+    generalized so TOKEN-hash streams shingle through the exact same
+    code path. Docs with fewer than k elements emit ONE whole-doc
+    sentinel hash; returns (hashes, out_offsets)."""
+    lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+    return _window_hashes_blocked(stream, lens, k)
+
+
+# ---------------------------------------------------------------------------
+# ASCII/Arrow fast paths (r7): operate directly on the Arrow string
+# column's UTF-8 data buffer — for an all-ASCII, null-free batch the
+# byte values ARE the code points, so the char and token kernels can
+# skip Arrow→pandas conversion, the per-row ``str`` materialization and
+# the per-row utf-32 encode loop entirely (guide §4.2: whole-batch
+# native-code work on Arrow buffers). Non-ASCII or nulled batches fall
+# back to the exact pandas kernels; outputs are bit-identical either
+# way (asserted in tests/test_ascii_fastpath.py).
+# ---------------------------------------------------------------------------
+
+# Python's str.split() whitespace, restricted to ASCII: \t\n\v\f\r(9-13),
+# FS/GS/RS/US(28-31) and space(32). (\x85 and \xa0 are non-ASCII and
+# cannot appear on this path.)
+_ASCII_WS_LO = np.uint8(9)
+_ASCII_WS_HI = np.uint8(13)
+_ASCII_FS = np.uint8(28)
+_ASCII_US = np.uint8(31)
+_ASCII_SP = np.uint8(32)
+
+
+def _ascii_text_buffer(col) -> tuple[np.ndarray, np.ndarray] | None:
+    """(uint8 data buffer, per-doc byte lengths) for an Arrow string
+    array/chunked-array holding only non-null ASCII text; None when the
+    fast path doesn't apply. Zero-copy except slicing."""
+    import pyarrow as pa
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if col.null_count or not pa.types.is_string(col.type):
+        return None
+    n = len(col)
+    if n == 0:
+        return np.zeros(0, dtype=np.uint8), np.zeros(0, dtype=np.int64)
+    bufs = col.buffers()
+    offs = np.frombuffer(bufs[1], dtype=np.int32, count=col.offset + n + 1)[
+        col.offset : col.offset + n + 1
+    ].astype(np.int64)
+    data = np.frombuffer(bufs[2], dtype=np.uint8, count=int(offs[-1]))[offs[0] :]
+    if len(data) and int(data.max()) >= 128:
+        return None
+    return data, np.diff(offs)
+
+
+def _char_shingle_hashes_ascii(
+    data: np.ndarray, lens: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ASCII twin of :func:`_char_shingle_hashes_with_lens` (byte values
+    == code points, so hashes and per-doc lengths are bit-identical)."""
+    h, out_off = _window_hashes_blocked(data, lens, k)
+    return h, out_off, lens
+
+
+def _token_shingle_hashes_ascii(
+    data: np.ndarray, lens: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """ASCII twin of :func:`_token_shingle_hashes`: token boundaries
+    from one vectorized whitespace scan over the byte buffer (same
+    split set as ``str.split()`` restricted to ASCII), token hashes via
+    the same segment kernel, windowing via the same blocked core —
+    bit-identical output, no per-row Python."""
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    total = int(offsets[-1])
+    if total == 0:
+        ntoks = np.zeros(len(lens), dtype=np.int64)
+        h, out_off = _window_hashes_blocked(
+            np.zeros(0, dtype=np.uint64), ntoks, n
+        )
+        return h, out_off, ntoks
+    ws = (
+        (data == _ASCII_SP)
+        | ((data >= _ASCII_WS_LO) & (data <= _ASCII_WS_HI))
+        | ((data >= _ASCII_FS) & (data <= _ASCII_US))
+    )
+    m = ~ws
+    # a token starts where a non-space has no preceding non-space IN THE
+    # SAME DOC, and ends where it has no following one — doc boundaries
+    # are forced breaks so adjacent docs can never merge tokens
+    prev_ns = np.empty(total, dtype=bool)
+    prev_ns[0] = False
+    prev_ns[1:] = m[:-1]
+    prev_ns[offsets[:-1]] = False
+    next_ns = np.empty(total, dtype=bool)
+    next_ns[-1] = False
+    next_ns[:-1] = m[1:]
+    nz_ends = offsets[1:] - 1
+    next_ns[nz_ends[nz_ends >= 0]] = False
+    starts = np.flatnonzero(m & ~prev_ns)
+    ends = np.flatnonzero(m & ~next_ns) + 1
+    tok_h = _splitmix(_segment_poly_hashes(data, starts, ends))
+    ntoks = np.diff(np.searchsorted(starts, offsets))
+    h, out_off = _window_hashes_blocked(tok_h, ntoks, n)
+    return h, out_off, ntoks
 
 
 def _token_shingle_hashes(
@@ -1335,6 +1443,14 @@ def dedup_paragraphs(
         (F.length(F.trim(F.col("para"))) >= min_chars).alias("elig"),
         F.unhex(F.md5(F.col("para"))).alias("ph"),
     )
+    # r7 note: a shared explicit ph-exchange for the keeper aggregate
+    # and the flag join was tried and REVERTED — the optimizer pushes
+    # the eligibility/null filters below the repartition differently
+    # per branch, so ReuseExchange never matches, and the forced raw-row
+    # shuffle costs the keeper branch its map-side partial_min (the
+    # skew armor for hot boilerplate paragraphs). The second
+    # Generate+md5 pass it would have saved is ~0.2 s at bench scale —
+    # not worth the scale hazard (§OPTIMIZATION_r07.md).
     eligible = keyed.filter(F.col("elig"))
     if keep == "first":
         keepers = eligible.groupBy("ph").agg(

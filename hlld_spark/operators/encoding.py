@@ -90,9 +90,19 @@ def with_encoding_repair(
     rounds_col: str = "mojibake_rounds",
     max_rounds: int = 3,
 ) -> DataFrame:
-    """Add ``out_col`` (repaired text) + ``rounds_col`` (0 = clean)."""
+    """Add ``out_col`` (repaired text) + ``rounds_col`` (0 = clean).
 
-    @F.pandas_udf(
+    r7: the UDF is an Arrow-native ``arrow_udf`` (Spark 4.1) — the
+    suspect prefilter runs as one RE2 ``match_substring_regex`` over
+    the Arrow batch, and a batch with no suspects returns its input
+    buffer as-is: clean corpora pay ZERO per-row Python and zero string
+    materialization (before: every row became a pandas ``str`` twice).
+    Batches containing suspects drop to the exact pandas kernel
+    (:func:`repair_text_batch`) — byte-identical output either way
+    (asserted in tests/test_encoding.py)."""
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(
         StructType(
             [
                 StructField("fixed", StringType(), True),
@@ -100,8 +110,32 @@ def with_encoding_repair(
             ]
         )
     )
-    def _fix(texts: pd.Series) -> pd.DataFrame:
-        return repair_text_batch(texts, max_rounds)
+    def _fix(texts):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        fields = [
+            pa.field("fixed", pa.string()),
+            pa.field("rounds", pa.int32(), nullable=False),
+        ]
+        col = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        filled = pc.fill_null(col, "") if col.null_count else col
+        n_sus = pc.sum(pc.match_substring_regex(filled, _SUSPECT_RE)).as_py() or 0
+        if n_sus == 0:
+            # clean batch: nulls → "" (the documented fillna semantic),
+            # everything else passes through untouched, zero copies
+            return pa.StructArray.from_arrays(
+                [filled, pa.array(np.zeros(len(filled), dtype=np.int32))],
+                fields=fields,
+            )
+        out = repair_text_batch(col.to_pandas(), max_rounds)
+        return pa.StructArray.from_arrays(
+            [
+                pa.array(out["fixed"], type=pa.string()),
+                pa.array(out["rounds"], type=pa.int32()),
+            ],
+            fields=fields,
+        )
 
     tmp = df.withColumn("__enc", _fix(F.col(text_col)))
     return (

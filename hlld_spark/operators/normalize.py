@@ -53,9 +53,28 @@ def with_unicode_normalization(
         raise ValueError(f"form must be one of {_FORMS}, got {form!r}")
     out_col = out_col or text_col
 
-    @F.pandas_udf(StringType())
-    def _norm(texts: pd.Series) -> pd.Series:
-        return normalize_batch(texts, form)
+    from pyspark.sql.functions import arrow_udf
+
+    @arrow_udf(StringType())
+    def _norm(texts):
+        import numpy as np
+        import pyarrow as pa
+
+        col = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        # r7 fast path: an all-ASCII batch is invariant under every
+        # normalization form (ASCII has no decompositions), so the
+        # input Arrow buffer passes through untouched — no pandas
+        # conversion, no per-row Python. Checked with one vectorized
+        # max over the batch's UTF-8 data buffer.
+        if pa.types.is_string(col.type) and col.null_count == 0 and len(col):
+            bufs = col.buffers()
+            offs = np.frombuffer(bufs[1], dtype=np.int32, count=col.offset + len(col) + 1)
+            lo, hi = int(offs[col.offset]), int(offs[col.offset + len(col)])
+            data = np.frombuffer(bufs[2], dtype=np.uint8, count=hi)[lo:]
+            if len(data) == 0 or int(data.max()) < 128:
+                return col
+        out = normalize_batch(col.to_pandas(), form)
+        return pa.Array.from_pandas(out, type=pa.string())
 
     return df.withColumn(out_col, _norm(F.col(text_col)))
 

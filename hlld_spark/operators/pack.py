@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from .ranking import tokens_col
+from .ranking import TOKEN_PATTERN, tokens_col
 
 
 def with_global_token_offsets(
@@ -48,7 +48,24 @@ def with_global_token_offsets(
     the hierarchical decomposition described in the module docstring.
     ``id_col`` must be numeric; ties are impossible (ids are unique)."""
     bucket = (F.col(id_col) / F.lit(bucket_span)).cast("long").alias("__bucket")
-    b = df.withColumn("__bucket", bucket)
+    # r7 (guide §2.4 / §3.3 "materialise an intermediate"): `totals` and
+    # the windowed side are two consumers of the same upstream; as two
+    # plan subtrees the whole upstream — scan INCLUDING the tokenize
+    # that usually derives count_col — ran twice (plan-verified: two
+    # Scan parquet nodes each with its own regexp_extract_all). An
+    # explicit shared exchange can't fix it: column pruning gives the
+    # two branches different exchange inputs, so ReuseExchange never
+    # matches. localCheckpoint(eager=False) materializes the bucketed
+    # rows ONCE and both branches read the checkpoint (same pattern as
+    # the connected-components rounds in operators/cluster.py). Callers
+    # should pass a NARROW frame (pack_sequences projects to
+    # (id, count)): the checkpoint then stores ~16-24 B/row — far
+    # cheaper than a second full scan+tokenize whenever upstream
+    # per-row work dominates, and the same order as the window shuffle
+    # the computation needs anyway. The bucket prefixes come back via a
+    # broadcast join (n_buckets rows ≪ docs by construction), so doc
+    # rows cross exactly ONE exchange (the window's).
+    b = df.withColumn("__bucket", bucket).localCheckpoint(eager=False)
     totals = b.groupBy("__bucket").agg(F.sum(count_col).alias("__btot"))
     # global window over BUCKET AGGREGATES only — n_buckets rows
     wb = Window.orderBy("__bucket").rowsBetween(Window.unboundedPreceding, -1)
@@ -62,7 +79,7 @@ def with_global_token_offsets(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
-        b.join(prefixes, "__bucket")
+        b.join(F.broadcast(prefixes), "__bucket")
         .withColumn(
             out_col,
             F.col("__bprefix") + F.coalesce(F.sum(count_col).over(ww), F.lit(0)),
@@ -89,11 +106,19 @@ def pack_sequences(
     if (text_col is None) == (count_col is None):
         raise ValueError("pass exactly one of text_col / count_col")
     if count_col is None:
+        # (regexp_count is no cheaper: Catalyst rewrites it to exactly
+        # size(regexp_extract_all(...)) — RuntimeReplaceable)
         df = df.withColumn("n_tokens", F.size(tokens_col(text_col)))
         count_col = "n_tokens"
     elif count_col != "n_tokens":
         df = df.withColumn("n_tokens", F.col(count_col))
-    out = with_global_token_offsets(df, id_col, "n_tokens", bucket_span)
+    # narrow projection BEFORE the offsets machinery (r7): the output
+    # only needs (id, n_tokens), and the narrow frame is what lets
+    # with_global_token_offsets share one exchange between its two
+    # consumers — with the old wide frame the tokenize ran twice
+    out = with_global_token_offsets(
+        df.select(id_col, "n_tokens"), id_col, "n_tokens", bucket_span
+    )
     nonzero = F.col("n_tokens") > 0
     return out.select(
         id_col,

@@ -44,6 +44,26 @@ PII_PATTERNS: dict[str, str] = {
 
 DEFAULT_TOKEN_FMT = "<|{kind}|>"
 
+# Cheap NECESSARY conditions per pattern (r7 perf): a row where the
+# guard is false cannot contain a match, so the expensive backtracking
+# regex is skipped entirely for it — ``regexp_replace`` degenerates to
+# the identity and ``regexp_count`` to 0. Guards are byte-scans
+# (``contains``) or trivially simple regexes, both far cheaper per row
+# than the full patterns (the email pattern in particular backtracks
+# over every alnum run). Proof of necessity: every email match contains
+# '@'; every IPv4 match contains '.'; every phone match ends with the
+# mandatory ``\\d{3}[-. ]\\d{4}`` tail (both exchange alternatives are
+# followed by it). Equivalence is asserted in tests/test_pii.py against
+# the unguarded patterns AND DuckDB's RE2.
+def _pii_guard(kind: str, text: Column) -> Column:
+    if kind == "email":
+        return text.contains("@")
+    if kind == "ipv4":
+        return text.contains(".")
+    if kind == "phone":
+        return text.rlike(r"\d{3}[-. ]\d{4}")
+    return F.lit(True)
+
 
 def pii_token(kind: str, token_fmt: str = DEFAULT_TOKEN_FMT) -> str:
     return token_fmt.format(kind=kind.upper())
@@ -55,10 +75,19 @@ def redact_pii_col(
     token_fmt: str = DEFAULT_TOKEN_FMT,
 ) -> Column:
     """Column expression: ``text`` with every match of each kind
-    replaced by its placeholder token, applied in PII_PATTERNS order."""
+    replaced by its placeholder token, applied in PII_PATTERNS order.
+
+    Each replace is guarded by its necessary condition (see
+    ``_pii_guard``): null text stays null through either branch, and a
+    guard-false row is returned untouched — byte-identical to the
+    unguarded expression, without paying the full regex on rows that
+    cannot match."""
     out = text
     for kind in kinds:
-        out = F.regexp_replace(out, PII_PATTERNS[kind], pii_token(kind, token_fmt))
+        out = F.when(
+            _pii_guard(kind, out),
+            F.regexp_replace(out, PII_PATTERNS[kind], pii_token(kind, token_fmt)),
+        ).otherwise(out)
     return out
 
 
@@ -81,10 +110,16 @@ def with_pii_counts(
     kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
 ) -> DataFrame:
     """Add one ``<kind>_count`` column per kind (matches in the text,
-    counted BEFORE any redaction)."""
+    counted BEFORE any redaction). Counts take the same necessary-
+    condition guards as :func:`redact_pii_col` (guard false ⇒ count 0;
+    null text ⇒ null count, exactly like the raw ``regexp_count``)."""
     for kind in kinds:
+        c = F.col(text_col)
         df = df.withColumn(
-            f"{kind}_count", F.regexp_count(F.col(text_col), F.lit(PII_PATTERNS[kind]))
+            f"{kind}_count",
+            F.when(c.isNull(), F.lit(None).cast("int"))
+            .when(_pii_guard(kind, c), F.regexp_count(c, F.lit(PII_PATTERNS[kind])))
+            .otherwise(F.lit(0)),
         )
     return df
 

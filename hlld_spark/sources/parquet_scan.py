@@ -94,20 +94,25 @@ def map_parquet_batches(
     fcols = list(columns)
     ffilter = filter
     fbatch = batch_rows
+    # r7: the task list rides a JVM-native Range (one task-id row per
+    # partition) + a broadcast of the split table, NOT a parallelize()d
+    # Python RDD — the latter put a second Python round trip in front of
+    # EVERY task (measured ~0.5 s of serialized per-task overhead on a
+    # 64-task job, §OPTIMIZATION_r07.md). Splits are assigned by
+    # striding (tid::n_tasks), which balances like the old contiguous
+    # chunking; split order never affects results (all consumers
+    # aggregate or sort).
+    bsplits = spark.sparkContext.broadcast(splits)
 
     def task(meta_batches):
         def gen():
             for rb in meta_batches:
-                paths = rb.column(0).to_pylist()
-                los = rb.column(1).to_pylist()
-                his = rb.column(2).to_pylist()
-                for fp, lo, hi in zip(paths, los, his):
-                    tbl = read_split_table(fp, lo, hi, fcols, ffilter)
-                    yield from tbl.to_batches(fbatch)
+                for tid in rb.column(0).to_pylist():
+                    for fp, lo, hi in bsplits.value[tid::n_tasks]:
+                        tbl = read_split_table(fp, lo, hi, fcols, ffilter)
+                        yield from tbl.to_batches(fbatch)
 
         yield from fn(gen())
 
-    files_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(splits, n_tasks), "path string, rg_lo int, rg_hi int"
-    )
-    return files_df.mapInArrow(task, schema=schema)
+    ids_df = spark.range(0, n_tasks, 1, n_tasks)
+    return ids_df.mapInArrow(task, schema=schema)

@@ -143,3 +143,38 @@ def test_redaction_plan_is_codegen_only(spark):
     df = spark.createDataFrame([(1, "a@b.co")], "i long, text string")
     plan = redact_pii(with_pii_counts(df, "text"), "text")._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+@pytest.mark.spark
+def test_guarded_equals_unguarded(spark):
+    """The r7 necessary-condition guards must be byte-identical to the
+    raw (unguarded) regex expressions — redaction, counts, schema and
+    null handling — over the adversarial sweep plus null/empty rows."""
+    from hlld_spark.operators.pii import pii_token
+
+    rows = [(i, s) for i, s in enumerate(ADVERSARIAL)] + [
+        (1000, None),
+        (1001, ""),
+        (1002, "@ . 000-0000"),  # guards fire, regexes still don't match
+    ]
+    df = spark.createDataFrame(rows, "i long, text string")
+    guarded = redact_pii(with_pii_counts(df, "text"), "text", out_col="red")
+
+    raw_red = F.col("text")
+    for kind in ("email", "ipv4", "phone"):
+        raw_red = F.regexp_replace(raw_red, PII_PATTERNS[kind], pii_token(kind))
+    raw = df.select(
+        "i",
+        *[
+            F.regexp_count(F.col("text"), F.lit(PII_PATTERNS[k])).alias(f"{k}_count")
+            for k in ("email", "ipv4", "phone")
+        ],
+        raw_red.alias("red"),
+    )
+    cols = ["red", "email_count", "ipv4_count", "phone_count"]
+    g = {r["i"]: tuple(r[c] for c in cols) for r in guarded.collect()}
+    u = {r["i"]: tuple(r[c] for c in cols) for r in raw.collect()}
+    assert g == u
+    gs = {f.name: (f.dataType, f.nullable) for f in guarded.schema.fields if f.name in cols}
+    us = {f.name: (f.dataType, f.nullable) for f in raw.schema.fields if f.name in cols}
+    assert gs == us
