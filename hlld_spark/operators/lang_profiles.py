@@ -349,48 +349,22 @@ _SCRIPT_LANG_J = np.array([_SCRIPT_LANGS[l] for l, _, _ in _SCRIPT_RANGES], dtyp
 _SCORE_CHUNK = 4096
 
 
-def _profile_lang_batch(
-    texts: pd.Series, min_score: float = 1e-4, max_chars: int | None = 1000
-) -> pd.Series:
-    if len(texts) > _SCORE_CHUNK:
-        parts = [
-            _profile_lang_batch_chunk(texts.iloc[i : i + _SCORE_CHUNK], min_score, max_chars)
-            for i in range(0, len(texts), _SCORE_CHUNK)
-        ]
-        return pd.concat(parts, ignore_index=True)
-    return _profile_lang_batch_chunk(texts, min_score, max_chars)
+def _chunk_bounds(lens: np.ndarray):
+    """(start_doc, byte_lo, byte_hi) triples cutting a batch into
+    _SCORE_CHUNK-doc chunks along the concatenated byte buffer."""
+    offsets = np.concatenate(([0], np.cumsum(lens)))
+    return [
+        (i, offsets[i], offsets[min(i + _SCORE_CHUNK, len(lens))])
+        for i in range(0, len(lens), _SCORE_CHUNK)
+    ]
 
 
-def _profile_lang_batch_chunk(
-    texts: pd.Series, min_score: float = 1e-4, max_chars: int | None = 1000
-) -> pd.Series:
-    """Whole-batch profile language ID.
-
-    1. ONE lowercase pass (NUL-joined batch → str.lower → split; lower
-       never produces NUL so doc boundaries survive).
-    2. ONE trigram poly-hash pass over the concatenated code-point
-       buffer (``_batch_trigram_hashes`` — docs virtually space-padded
-       so edge trigrams match the padded-word profiles).
-    3. byte-mask prefilter + sorted-array lookup on survivors, reduceat
-       accumulation into (docs × langs).
-    4. han/kana script ratios override for zh/ja (no word segmentation);
-       cyrillic backstop for ru on short texts.
-
-    ``max_chars`` (r5, VERDICT r4 #1): score only the first N characters
-    of each document — language is decidable from a prefix (standard
-    CLD2-style practice), and on multi-KB web documents this caps the
-    kernel cost per doc. ``max_chars=None`` scores whole documents.
-    """
-    tl = [v if isinstance(v, str) else "" for v in texts]
-    if max_chars is not None:
-        tl = [v[:max_chars] for v in tl]
-    n_docs = len(tl)
-    if n_docs == 0:
-        return pd.Series([], dtype=object)
-    lowered = "\x00".join(tl).lower().split("\x00")
-    if len(lowered) != n_docs:  # pathological: lower() produced a NUL
-        lowered = [t.lower() for t in tl]
-    h, bases, per_doc = _batch_trigram_hashes(lowered)
+def _score_trigrams(
+    h: np.ndarray, bases: np.ndarray, per_doc: np.ndarray, n_docs: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """(scores, n_matched) from a shared trigram-hash buffer + per-doc
+    regions — the scoring half of the chunk kernel, shared verbatim by
+    the pandas and the r7 ASCII/Arrow paths."""
     hashes, weights, prefilter = _table()
     n_langs = weights.shape[1]
     scores = np.zeros((n_docs, n_langs))
@@ -434,6 +408,115 @@ def _profile_lang_batch_chunk(
             docs_with = n_matched > 0
             if docs_with.any():
                 scores[docs_with] = np.add.reduceat(W, starts[docs_with], axis=0)
+    return scores, n_matched
+
+
+def _profile_lang_ascii(
+    data: np.ndarray,
+    lens: np.ndarray,
+    min_score: float = 1e-4,
+    max_chars: int | None = 1000,
+) -> np.ndarray:
+    """ASCII/Arrow twin of :func:`_profile_lang_batch_chunk` (r7): the
+    whole pipeline — prefix truncation, lowercase, the space/NUL-joined
+    buffer, trigram hashing, scoring, decision — runs on the Arrow
+    UTF-8 byte buffer with zero per-row Python. For ASCII input the
+    byte values ARE the code points and ASCII lower() is exactly
+    A-Z+0x20, so hashes and decisions are bit-identical to the pandas
+    kernel (asserted in tests); every script-ratio / char-vote branch
+    is definitionally zero on ASCII. Returns an object ndarray of lang
+    codes."""
+    from .dedup import _gather_segments
+
+    n_docs = len(lens)
+    if n_docs == 0:
+        return np.zeros(0, dtype=object)
+    lens2 = np.minimum(lens, max_chars) if max_chars is not None else lens
+    if max_chars is not None and (lens > max_chars).any():
+        offsets = np.concatenate(([0], np.cumsum(lens)))
+        data, _ = _gather_segments(data, offsets[:-1], lens2)
+    low = data.copy()
+    up = (low >= 65) & (low <= 90)
+    low[up] += 32
+    # joined = " " + " \x00 ".join(docs) + " " — built by scatter:
+    # spaces everywhere, doc bytes at their regions, NULs between docs
+    total = int(lens2.sum())
+    out_len = total + 3 * (n_docs - 1) + 2
+    starts_out = 1 + np.concatenate(([0], np.cumsum(lens2[:-1] + 3)))
+    joined = np.full(out_len, 0x20, dtype=np.uint8)
+    if total:
+        src_off = np.concatenate(([0], np.cumsum(lens2)))[:-1]
+        dest = np.repeat(starts_out - src_off, lens2) + np.arange(total, dtype=np.int64)
+        joined[dest] = low
+    if n_docs > 1:
+        joined[starts_out[:-1] + lens2[:-1] + 1] = 0
+    # trigram poly hashes at every position, chunked for cache locality
+    # (un-finalized, exactly _batch_trigram_hashes' arithmetic)
+    n_pos = out_len - _TRIGRAM_K + 1
+    h = np.empty(max(n_pos, 0), dtype=np.uint64)
+    CH = 1 << 17
+    for s in range(0, n_pos, CH):
+        e = min(s + CH, n_pos)
+        w64 = joined[s : e + _TRIGRAM_K - 1].astype(np.uint64)
+        hc = np.zeros(e - s, dtype=np.uint64)
+        for j in range(_TRIGRAM_K):
+            np.multiply(hc, _POLY_B, out=hc)
+            np.add(hc, w64[j : j + (e - s)], out=hc)
+        h[s:e] = hc
+    bases = starts_out - 1
+    per_doc = lens2
+    scores, n_matched = _score_trigrams(h, bases, per_doc, n_docs)
+    scores /= np.maximum(per_doc, 1)[:, None]
+    best_j = scores.argmax(axis=1)
+    best = scores[np.arange(n_docs), best_j]
+    confident = (best > min_score) & (n_matched >= 2)
+    out = np.where(confident, np.array(_PROFILE_LANGS, dtype=object)[best_j], "und")
+    return np.where(lens2 == 0, "und", out)
+
+
+def _profile_lang_batch(
+    texts: pd.Series, min_score: float = 1e-4, max_chars: int | None = 1000
+) -> pd.Series:
+    if len(texts) > _SCORE_CHUNK:
+        parts = [
+            _profile_lang_batch_chunk(texts.iloc[i : i + _SCORE_CHUNK], min_score, max_chars)
+            for i in range(0, len(texts), _SCORE_CHUNK)
+        ]
+        return pd.concat(parts, ignore_index=True)
+    return _profile_lang_batch_chunk(texts, min_score, max_chars)
+
+
+def _profile_lang_batch_chunk(
+    texts: pd.Series, min_score: float = 1e-4, max_chars: int | None = 1000
+) -> pd.Series:
+    """Whole-batch profile language ID.
+
+    1. ONE lowercase pass (NUL-joined batch → str.lower → split; lower
+       never produces NUL so doc boundaries survive).
+    2. ONE trigram poly-hash pass over the concatenated code-point
+       buffer (``_batch_trigram_hashes`` — docs virtually space-padded
+       so edge trigrams match the padded-word profiles).
+    3. byte-mask prefilter + sorted-array lookup on survivors, reduceat
+       accumulation into (docs × langs).
+    4. han/kana script ratios override for zh/ja (no word segmentation);
+       cyrillic backstop for ru on short texts.
+
+    ``max_chars`` (r5, VERDICT r4 #1): score only the first N characters
+    of each document — language is decidable from a prefix (standard
+    CLD2-style practice), and on multi-KB web documents this caps the
+    kernel cost per doc. ``max_chars=None`` scores whole documents.
+    """
+    tl = [v if isinstance(v, str) else "" for v in texts]
+    if max_chars is not None:
+        tl = [v[:max_chars] for v in tl]
+    n_docs = len(tl)
+    if n_docs == 0:
+        return pd.Series([], dtype=object)
+    lowered = "\x00".join(tl).lower().split("\x00")
+    if len(lowered) != n_docs:  # pathological: lower() produced a NUL
+        lowered = [t.lower() for t in tl]
+    h, bases, per_doc = _batch_trigram_hashes(lowered)
+    scores, n_matched = _score_trigrams(h, bases, per_doc, n_docs)
     # --- one utf-32 pass over non-ascii docs: distinctive-character
     # votes (added to scores BEFORE the argmax) + script ratios ---------
     lens = np.fromiter((len(t) for t in tl), dtype=np.int64, count=n_docs)
@@ -762,7 +845,32 @@ def lang_id_profiles_parquet(
     schema = StructType([pq_schema[c] for c in carry] + [StructField(out, StringType(), False)])
 
     def fn(batches):
+        from .dedup import _ascii_text_buffer
+
         for rb in batches:
+            # r7: all-ASCII batches are scored straight off the Arrow
+            # byte buffer (no pandas conversion, no per-row Python —
+            # bit-identical, see _profile_lang_ascii); mixed batches
+            # take the exact pandas kernel as before
+            tcol = rb.column(rb.schema.get_field_index(text_col))
+            fast = _ascii_text_buffer(tcol)
+            if fast is not None:
+                data, lens = fast
+                # chunk like _profile_lang_batch so the score matrix
+                # stays cache-sized regardless of batch rows
+                langs = [
+                    _profile_lang_ascii(
+                        data[int(off_lo) : int(off_hi)], lens[i : i + _SCORE_CHUNK], max_chars=max_chars
+                    )
+                    for i, off_lo, off_hi in _chunk_bounds(lens)
+                ]
+                lang_arr = pa.array(
+                    np.concatenate(langs) if langs else np.zeros(0, dtype=object),
+                    type=pa.string(),
+                )
+                cols = [rb.column(rb.schema.get_field_index(c)) for c in carry]
+                yield pa.RecordBatch.from_arrays(cols + [lang_arr], names=carry + [out])
+                continue
             pdf = rb.to_pandas()
             lang = _profile_lang_batch(pdf[text_col], max_chars=max_chars)
             out_pdf = pd.DataFrame({c: pdf[c].values for c in carry})

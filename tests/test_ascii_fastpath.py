@@ -101,3 +101,25 @@ def test_empty_batch():
     for fn in (_char_shingle_hashes_ascii, _token_shingle_hashes_ascii):
         h, o, u = fn(data, lens, 13)
         assert len(h) == 0 and list(o) == [0] and len(u) == 0
+
+
+def test_profile_lang_ascii_matches_pandas():
+    """r7 ASCII lang-id kernel must decide identically to the pandas
+    kernel on ASCII input — including prefix truncation, empty docs and
+    whitespace-only docs."""
+    from hlld_spark.operators.lang_profiles import (
+        EVAL_SENTENCES,
+        _profile_lang_ascii,
+        _profile_lang_batch,
+    )
+
+    rng = np.random.default_rng(23)
+    texts = [s for ss in EVAL_SENTENCES.values() for s in ss if s.isascii()]
+    texts += ["", "  ", "ab", "x " * 40, "word " * 700]  # >1000 chars triggers truncation
+    texts += _rand_ascii_texts(rng, 100)
+    want = _profile_lang_batch(pd.Series(texts)).to_numpy()
+    from hlld_spark.operators.dedup import _ascii_text_buffer
+
+    data, lens = _ascii_text_buffer(pa.array(texts, type=pa.string()))
+    got = _profile_lang_ascii(data, lens)
+    assert np.array_equal(want, got), list(zip(texts, want, got))[:5]
