@@ -123,3 +123,4 @@ def test_profile_lang_ascii_matches_pandas():
     data, lens = _ascii_text_buffer(pa.array(texts, type=pa.string()))
     got = _profile_lang_ascii(data, lens)
     assert np.array_equal(want, got), list(zip(texts, want, got))[:5]
+
