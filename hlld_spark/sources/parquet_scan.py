@@ -23,12 +23,21 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def plan_parquet_splits(
-    spark: SparkSession, path: str, files_per_task: int | None = None
+    spark: SparkSession, path: str, files_per_task: int | None = None, waves: int = 2
 ) -> tuple[list[tuple[str, int, int]], int]:
     """(splits, n_tasks): file-level splits normally; row-group-range
     splits when there are fewer files than task slots (one giant file
     still parallelizes). A split is (file, rg_lo, rg_hi) with lo=-1
-    meaning the whole file."""
+    meaning the whole file.
+
+    ``waves``: task count target in multiples of the parallelism, when
+    files outnumber cores. 2 (default) balances straggler smoothing for
+    compute-heavy consumers; scan-dominated uniform consumers (the
+    sketch build) pass 1 — every Python task costs ~5-10 ms of
+    serialized handshake, so halving the task count measurably wins
+    when per-task compute is small (r7 A/B in OPTIMIZATION_r07.md).
+    Only relevant when files ≲ waves·parallelism; at corpus scale the
+    file count dominates either way."""
     from ..operators.sketch import list_parquet_files
 
     files = list_parquet_files(path)
@@ -38,19 +47,19 @@ def plan_parquet_splits(
         import pyarrow.parquet as _pq
 
         splits = []
-        per_file_tasks = max(1, (2 * par) // len(files))
+        per_file_tasks = max(1, (waves * par) // len(files))
         for f in files:
             n_rg = _pq.ParquetFile(f).metadata.num_row_groups
             step = max(1, (n_rg + per_file_tasks - 1) // per_file_tasks)
             for lo in range(0, n_rg, step):
                 splits.append((f, lo, min(lo + step, n_rg)))
-        n_tasks = min(len(splits), 2 * par)
+        n_tasks = min(len(splits), waves * par)
     else:
         splits = [(f, -1, -1) for f in files]
         if files_per_task is None:
-            # exactly 2 waves of full-width tasks: balanced (uniform
-            # files) without ragged-last-wave makespan loss
-            n_tasks = min(len(splits), 2 * par)
+            # `waves` full-width task waves: balanced (uniform files)
+            # without ragged-last-wave makespan loss
+            n_tasks = min(len(splits), waves * par)
         else:
             n_tasks = (len(splits) + files_per_task - 1) // files_per_task
     return splits, n_tasks
@@ -84,13 +93,15 @@ def map_parquet_batches(
     filter=None,
     batch_rows: int = 32768,
     files_per_task: int | None = None,
+    waves: int = 2,
 ) -> DataFrame:
     """Apply ``fn(Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]``
     to worker-side parquet reads of ``columns`` and return a DataFrame
     with ``schema``. ``fn`` sees one continuous batch stream per task
     (all of the task's splits), so per-task state (partial aggregates,
-    summaries) amortizes across splits."""
-    splits, n_tasks = plan_parquet_splits(spark, path, files_per_task)
+    summaries) amortizes across splits. ``waves``: see
+    :func:`plan_parquet_splits`."""
+    splits, n_tasks = plan_parquet_splits(spark, path, files_per_task, waves)
     fcols = list(columns)
     ffilter = filter
     fbatch = batch_rows
