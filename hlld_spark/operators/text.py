@@ -397,7 +397,13 @@ def with_gopher_signals(
       in [3, 10], tested as ``3·n ≤ chars ≤ 10·n`` (INTEGER arithmetic
       — no float division, so any engine replays it exactly);
     * ``gopher_symbols`` / ``r_symbol_ratio`` — ``#`` + ``...`` + ``…``
-      occurrences, symbol-to-word ratio ≤ 0.1 as ``10·sym ≤ n``;
+      occurrences, symbol-to-word ratio ≤ 0.1 as ``10·sym ≤ n``.
+      DOCUMENTED DEVIATION from Rae'21 A.1.1 (ADVICE r6): the paper
+      tests hash and ellipsis ratios SEPARATELY ("either ... greater
+      than 0.1"); this combined test is strictly more aggressive
+      (0.06 hash + 0.06 ellipsis fails here, passes the paper). The
+      combined rule is this operator's frozen, oracle-replayed
+      contract; splitting it would change gated outputs;
     * ``gopher_bullet_lines`` / ``r_bullet_lines`` — ≤ 90 % of lines
       start with a bullet (``10·b ≤ 9·lines``);
     * ``gopher_ellipsis_lines`` / ``r_ellipsis_lines`` — ≤ 30 % of

@@ -12,8 +12,11 @@ that layout from DataFrames:
   (deterministic membership ``key % n_shards``), each task streams ONE
   tar via :mod:`tarfile` with zeroed mtime/uid/gid so output bytes are
   run-independent, plus a ``manifest.parquet`` of per-shard counts and
-  sizes. Peak task memory = the largest single sample, not the shard:
-  samples stream straight to the tar file.
+  sizes. Peak task memory = the SHARD payload (ADVICE r6 correction:
+  ``groupBy().applyInPandas`` materializes the whole shard group as one
+  pandas frame before the tar streaming starts — size ``n_shards`` so a
+  shard fits comfortably in a task, exactly as indexed_dataset.py
+  documents for the same shape).
 * :func:`read_webdataset` — one task per shard, yielding the LONG form
   (shard_id, key, ext, content) through bounded Arrow batches; group
   by key downstream to reassemble samples. Nothing touches the driver.
