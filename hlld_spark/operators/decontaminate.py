@@ -205,11 +205,15 @@ def _make_member(method: str, blob: bytes):
         return member
 
     sorted_hashes = np.frombuffer(blob, dtype=np.uint64)
-    # cheap prefilter: a 2^24-slot byte mask over the hash low bits turns
-    # ~97% of probes into ONE vectorized byte load — searchsorted (binary
+    # cheap prefilter: a byte mask over the hash low bits turns ~97%+ of
+    # probes into ONE vectorized byte load — searchsorted (binary
     # search, ~20 dependent loads/needle) runs only on the survivors.
-    # Byte-identical result.
-    _MASK_BITS = 24
+    # Byte-identical result. r7: the mask is sized to the table (~64
+    # slots/entry, clamped to [2^16, 2^24]) instead of a fixed 16 MB —
+    # a benchmark-sized eval set (~40k grams) now uses a 4 MB
+    # cache-resident mask with the same ~99% rejection, instead of
+    # thrashing 16 MB × n_workers through the LLC.
+    _MASK_BITS = max(16, min(24, int(max(len(sorted_hashes), 1) * 64 - 1).bit_length()))
     _MASK = np.uint64((1 << _MASK_BITS) - 1)
     prefilter = np.zeros(1 << _MASK_BITS, dtype=np.uint8)
     prefilter[(sorted_hashes & _MASK).astype(np.int64)] = 1
